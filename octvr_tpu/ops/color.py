@@ -1,0 +1,97 @@
+"""Color-space conversions for the online path (jax, jit-friendly).
+
+Replaces the reference's NPP conversions (cudaimgproc/src/color.cpp:
+cvtYUV420PtoRGBA32 / cvtRGB24toYUV420P) and the UYVY 4:2:2 split/merge
+kernels (cudaimgproc/src/cuda/uyvy.cu).
+
+YUV matrices: full-range BT.601 (JPEG), matching NPP's YUV420 family.
+
+Frame layout (packed YUV420P, mapper.hpp:75-83): one [H*3/2, W] uint8
+buffer; Y is the top HxW, U is rows [H, H*3/2) cols [0, W/2), V is rows
+[H, H*3/2) cols [W/2, W).
+"""
+
+import jax.numpy as jnp
+
+__all__ = [
+    "split_yuv420p",
+    "merge_yuv420p",
+    "yuv420p_to_rgb",
+    "rgb_to_yuv420p",
+    "split_uyvy",
+    "merge_uyvy",
+]
+
+
+def split_yuv420p(buf):
+    """[H*3/2, W] packed -> (Y [H,W], U [H/2,W/2], V [H/2,W/2])."""
+    h = buf.shape[0] * 2 // 3
+    w = buf.shape[1]
+    y = buf[:h]
+    u = buf[h:, : w // 2]
+    v = buf[h:, w // 2 :]
+    return y, u, v
+
+
+def merge_yuv420p(y, u, v):
+    bottom = jnp.concatenate([u, v], axis=1)
+    return jnp.concatenate([y, bottom], axis=0)
+
+
+def _upsample2(c):
+    """Nearest 2x chroma upsample [h,w] -> [2h,2w]."""
+    return jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1)
+
+
+def yuv420p_to_rgb(buf, dtype=jnp.float32):
+    """Packed YUV420P uint8 -> RGB float [H, W, 3] in [0, 255]."""
+    y, u, v = split_yuv420p(buf)
+    yf = y.astype(dtype)
+    uf = _upsample2(u).astype(dtype) - 128.0
+    vf = _upsample2(v).astype(dtype) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def rgb_to_yuv420p(rgb):
+    """RGB float [H, W, 3] in [0,255] -> packed YUV420P uint8 [H*3/2, W].
+    Chroma is box-averaged 2x2 before subsampling."""
+    r = rgb[..., 0]
+    g = rgb[..., 1]
+    b = rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h, w = y.shape
+
+    def sub(c):
+        return c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    yq = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+    uq = jnp.clip(jnp.round(sub(u)), 0, 255).astype(jnp.uint8)
+    vq = jnp.clip(jnp.round(sub(v)), 0, 255).astype(jnp.uint8)
+    return merge_yuv420p(yq, uq, vq)
+
+
+def split_uyvy(buf):
+    """Packed UYVY 4:2:2 [H, W, 2] or [H, W*2] uint8 -> (Y [H,W],
+    U [H,W/2], V [H,W/2]) (DeckLink SDI capture layout, uyvy.cu:17-30)."""
+    if buf.ndim == 2:
+        buf = buf.reshape(buf.shape[0], buf.shape[1] // 2, 2)
+    # byte stream per 2 px: U0 Y0 V0 Y1
+    quads = buf.reshape(buf.shape[0], -1, 4)
+    u = quads[..., 0]
+    y = jnp.stack([quads[..., 1], quads[..., 3]], axis=-1).reshape(
+        buf.shape[0], -1
+    )
+    v = quads[..., 2]
+    return y, u, v
+
+
+def merge_uyvy(y, u, v):
+    h, w = y.shape
+    y2 = y.reshape(h, w // 2, 2)
+    quads = jnp.stack([u, y2[..., 0], v, y2[..., 1]], axis=-1)
+    return quads.reshape(h, w * 2)

@@ -1,0 +1,232 @@
+"""The online Mapper: one jitted function per template doing the whole
+per-frame pipeline
+
+    YUV420P -> RGB -> vignette -> remap gather -> gain compensation
+    -> feather / multiband blend -> overlays -> (resize) -> YUV420P
+
+TPU-first redesign of the reference's CUDA Mapper (octvr/src/mapper.cpp):
+no streams, no host round-trips — per-input independence is expressed as
+separate ops in one XLA program (XLA overlaps them), the gain solve stays
+on-device, and every shape/ROI is a compile-time constant baked from the
+template.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.color import rgb_to_yuv420p, yuv420p_to_rgb
+from ..ops.remap import remap_apply, remap_plan
+from ..ops.resize import resize_bilinear, resize_nearest
+from ..template.compiler import MapperTemplate
+from .blenders import (
+    build_feather_plan,
+    build_multiband_plan,
+    feather_blend,
+    multiband_blend,
+)
+from .gain import build_gain_plan, solve_gains
+
+WORKING_MEGAPIX = 0.1  # mapper.cpp:43
+
+__all__ = ["Mapper", "StitchPlan"]
+
+
+@dataclass
+class _InputPlan:
+    roi: tuple
+    remap: object
+    work_remap: object  # working-scale gather (remap+nearest-subsample fused)
+    work_roi: tuple
+    vignette: Optional[np.ndarray]  # f32 [H_in, W_in] or None
+    mask: np.ndarray  # u8 roi-sized
+
+
+@dataclass
+class StitchPlan:
+    canvas_size: tuple  # (W, H)
+    out_size: tuple  # final output (W, H) after optional scaling
+    inputs: List[_InputPlan] = field(default_factory=list)
+    overlays: List[_InputPlan] = field(default_factory=list)
+    gain: object = None
+    blender: object = None
+    blend_kind: str = "none"  # "multiband" | "feather" | "none"
+
+
+def _nearest_indices(n_out, n_in):
+    return np.minimum(
+        np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int64), n_in - 1
+    )
+
+
+class Mapper:
+    """blend: >0 multiband blend width, 0 none, <0 feather border
+    (mapper.hpp:69-71)."""
+
+    def __init__(
+        self,
+        mt: MapperTemplate,
+        in_sizes,
+        blend: int = 128,
+        enable_gain: bool = True,
+        scale_output=None,
+    ):
+        n = len(mt.inputs)
+        if n == 1:
+            blend = 0
+            enable_gain = False
+
+        W, H = mt.out_size
+        plan = StitchPlan(
+            canvas_size=(W, H),
+            out_size=tuple(scale_output) if scale_output else (W, H),
+        )
+
+        working_scale = min(1.0, math.sqrt(WORKING_MEGAPIX * 1e6 / (W * H)))
+
+        work_masks, work_rois = [], []
+        for idx, inp in enumerate(mt.inputs + mt.overlay_inputs):
+            is_overlay = idx >= n
+            in_h, in_w = in_sizes[idx]
+            rx, ry, rw, rh = inp.roi
+            rp = remap_plan(inp.map1, inp.map2, in_h, in_w)
+
+            wrp = None
+            wroi = None
+            if not is_overlay:
+                wroi = (
+                    int(rx * working_scale),
+                    int(ry * working_scale),
+                    int(rw * working_scale),
+                    int(rh * working_scale),
+                )
+                ys = _nearest_indices(wroi[3], rh)
+                xs = _nearest_indices(wroi[2], rw)
+                wrp = remap_plan(
+                    inp.map1[ys][:, xs], inp.map2[ys][:, xs], in_h, in_w
+                )
+                work_masks.append(
+                    np.asarray(
+                        resize_nearest(inp.mask, wroi[3], wroi[2])
+                    )
+                )
+                work_rois.append(wroi)
+
+            vig = None
+            if inp.vignette is not None:
+                vig = np.asarray(
+                    resize_bilinear(inp.vignette, in_h, in_w)
+                ).astype(np.float32)
+
+            ip = _InputPlan(
+                roi=inp.roi,
+                remap=rp,
+                work_remap=wrp,
+                work_roi=wroi,
+                vignette=vig,
+                mask=inp.mask,
+            )
+            (plan.overlays if is_overlay else plan.inputs).append(ip)
+
+        if enable_gain:
+            plan.gain = build_gain_plan(work_masks, work_rois)
+
+        rois = [inp.roi for inp in mt.inputs]
+        if blend > 0:
+            num_bands = int(math.ceil(math.log(blend) / math.log(2.0)) - 1.0)
+            plan.blender = build_multiband_plan(
+                mt.seam_masks, rois, num_bands, (W, H)
+            )
+            plan.blend_kind = "multiband"
+        elif blend < 0:
+            plan.blender = build_feather_plan(
+                [i.mask for i in mt.inputs], rois, -blend
+            )
+            plan.blend_kind = "feather"
+
+        self.plan = plan
+        self.num_inputs = n
+
+        self._stitch_auto = jax.jit(lambda bufs: self._forward(bufs, None))
+        self._stitch_gains = jax.jit(
+            lambda bufs, g: self._forward(bufs, g)
+        )
+
+    # ------------------------------------------------------------ forward
+
+    def _forward(self, yuv_inputs, ext_gains):
+        plan = self.plan
+        W, H = plan.canvas_size
+
+        warped, work_norms = [], []
+        for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
+            rgb = yuv420p_to_rgb(buf)  # [H, W, 3] f32
+            rgb = jnp.moveaxis(rgb, -1, 0)  # [3, H, W]
+            if ip.vignette is not None:
+                rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
+            warped.append(remap_apply(rgb, ip.remap))
+            if ip.work_remap is not None and plan.gain is not None:
+                wimg = remap_apply(rgb, ip.work_remap)
+                work_norms.append(
+                    jnp.sqrt(jnp.sum(wimg * wimg, axis=0))
+                )
+
+        gains = None
+        if plan.gain is not None:
+            if ext_gains is None:
+                gains = solve_gains(plan.gain, work_norms)
+            else:
+                gains = ext_gains
+            warped = [
+                w * gains[i] if i < self.num_inputs else w
+                for i, w in enumerate(warped)
+            ]
+
+        blend_imgs = warped[: self.num_inputs]
+        if plan.blend_kind == "multiband":
+            canvas = multiband_blend(plan.blender, blend_imgs, (W, H))
+        elif plan.blend_kind == "feather":
+            canvas = feather_blend(plan.blender, blend_imgs, (W, H))
+        else:
+            canvas = jnp.zeros((3, H, W), dtype=jnp.float32)
+            for img, ip in zip(blend_imgs, plan.inputs):
+                x, y, rw, rh = ip.roi
+                m = (jnp.asarray(ip.mask) > 0)[None]
+                region = canvas[:, y : y + rh, x : x + rw]
+                canvas = canvas.at[:, y : y + rh, x : x + rw].set(
+                    jnp.where(m, img, region)
+                )
+
+        for img, ip in zip(warped[self.num_inputs :], plan.overlays):
+            x, y, rw, rh = ip.roi
+            m = (jnp.asarray(ip.mask) > 0)[None]
+            region = canvas[:, y : y + rh, x : x + rw]
+            canvas = canvas.at[:, y : y + rh, x : x + rw].set(
+                jnp.where(m, img, region)
+            )
+
+        canvas = jnp.clip(canvas, 0.0, 255.0)
+        rgb_out = jnp.moveaxis(canvas, 0, -1)  # [H, W, 3]
+        if plan.out_size != plan.canvas_size:
+            ow, oh = plan.out_size
+            rgb_out = resize_bilinear(rgb_out, oh, ow, xp=jnp)
+        out = rgb_to_yuv420p(rgb_out)
+        if gains is None:
+            gains = jnp.ones((self.num_inputs,), dtype=jnp.float32)
+        return out, gains
+
+    # ------------------------------------------------------------- public
+
+    def stitch(self, yuv_inputs, gains=None):
+        """yuv_inputs: list of [Hi*3/2, Wi] uint8 arrays (packed YUV420P).
+        Returns (yuv_out [Ho*3/2, Wo] uint8, gains [n] f32).  Pass
+        ``gains`` to reuse exposure gains from another output (the
+        async.cpp:75-91 gain-sharing semantics)."""
+        bufs = tuple(jnp.asarray(b) for b in yuv_inputs)
+        if gains is None:
+            return self._stitch_auto(bufs)
+        return self._stitch_gains(bufs, jnp.asarray(gains, dtype=jnp.float32))
