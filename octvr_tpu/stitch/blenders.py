@@ -16,6 +16,7 @@ import numpy as np
 from scipy.ndimage import distance_transform_edt
 
 from ..ops.pyramid import pyr_down, pyr_up
+from ..utils.pytree import register_plan
 
 WEIGHT_EPS = 1e-5
 
@@ -45,6 +46,9 @@ class FeatherPlan:
     rois: List[tuple]
     result_roi: tuple
     weights: List[np.ndarray]  # f32 [rh, rw], already normalized
+
+
+register_plan(FeatherPlan, children=("weights",), static=("rois", "result_roi"))
 
 
 def build_feather_plan(masks, rois, border: int) -> FeatherPlan:
@@ -91,6 +95,13 @@ class MultiBandPlan:
     align_result_roi: tuple
     weight_pyrs: List[List[np.ndarray]]  # per image, per level f32
     band_weights: List[np.ndarray]  # per level f32 (canvas-aligned size)
+
+
+register_plan(
+    MultiBandPlan,
+    children=("weight_pyrs", "band_weights"),
+    static=("num_bands", "rois", "align_rois", "align_result_roi"),
+)
 
 
 def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> MultiBandPlan:

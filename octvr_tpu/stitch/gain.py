@@ -16,6 +16,8 @@ from typing import List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.pytree import register_plan
+
 ALPHA = 0.01
 BETA = 100.0
 
@@ -25,12 +27,12 @@ __all__ = ["GainPlan", "build_gain_plan", "solve_gains"]
 @dataclass
 class GainPlan:
     num_images: int
-    N: np.ndarray  # [n, n] int, static pair pixel counts
+    N: tuple  # [n][n] int, static pair pixel counts (nested tuple)
     b: np.ndarray  # [n] f32, static rhs
     A_static: np.ndarray  # [n, n] f32, static part of the normal matrix
     # per pair (i, j), i<j with overlap: intersection masks restricted to
     # each image's working roi
-    pairs: List[Tuple[int, int]] = field(default_factory=list)
+    pairs: Tuple[Tuple[int, int], ...] = ()
     masks_i: List[np.ndarray] = field(default_factory=list)  # f32 [rh_i, rw_i]
     masks_j: List[np.ndarray] = field(default_factory=list)
 
@@ -52,7 +54,7 @@ def build_gain_plan(masks: List[np.ndarray], rois: List[tuple]) -> GainPlan:
     working roi; rois: working-scale canvas rects (x, y, w, h)."""
     n = len(masks)
     N = np.zeros((n, n), dtype=np.int64)
-    plan = GainPlan(num_images=n, N=N, b=None, A_static=None)
+    plan = GainPlan(num_images=n, N=N, b=None, A_static=None, pairs=[])
 
     for i in range(n):
         N[i, i] = max(1, int(np.count_nonzero(masks[i])))
@@ -80,6 +82,8 @@ def build_gain_plan(masks: List[np.ndarray], rois: List[tuple]) -> GainPlan:
 
     plan.b = (BETA * N.sum(axis=1)).astype(np.float32)
     plan.A_static = np.diag(BETA * N.sum(axis=1)).astype(np.float32)
+    plan.N = tuple(tuple(int(v) for v in row) for row in N)
+    plan.pairs = tuple(plan.pairs)
     return plan
 
 
@@ -90,11 +94,11 @@ def solve_gains(plan: GainPlan, norm_images):
     n = plan.num_images
     I = jnp.zeros((n, n), dtype=jnp.float32)
     for (i, j), mi, mj in zip(plan.pairs, plan.masks_i, plan.masks_j):
-        cnt = float(plan.N[i, j])
+        cnt = float(plan.N[i][j])
         I = I.at[i, j].set(jnp.sum(norm_images[i] * mi) / cnt)
         I = I.at[j, i].set(jnp.sum(norm_images[j] * mj) / cnt)
 
-    Nf = jnp.asarray(plan.N.astype(np.float32))
+    Nf = jnp.asarray(np.array(plan.N, dtype=np.float32))
     off = 1.0 - jnp.eye(n, dtype=jnp.float32)
     diag_dyn = jnp.sum(2.0 * ALPHA * I * I * Nf * off, axis=1)
     A = (
@@ -103,3 +107,10 @@ def solve_gains(plan: GainPlan, norm_images):
         - 2.0 * ALPHA * I * I.T * Nf * off
     )
     return jnp.linalg.solve(A, jnp.asarray(plan.b))
+
+
+register_plan(
+    GainPlan,
+    children=("b", "A_static", "masks_i", "masks_j"),
+    static=("num_images", "N", "pairs"),
+)

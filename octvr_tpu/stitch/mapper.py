@@ -20,9 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.color import rgb_to_yuv420p, yuv420p_to_rgb
-from ..ops.remap import remap_apply, remap_plan
+from ..ops.remap import pack_rgb, remap_apply_packed, remap_plan
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..template.compiler import MapperTemplate
+from ..utils.pytree import register_plan
 from .blenders import (
     build_feather_plan,
     build_multiband_plan,
@@ -46,6 +47,13 @@ class _InputPlan:
     mask: np.ndarray  # u8 roi-sized
 
 
+register_plan(
+    _InputPlan,
+    children=("remap", "work_remap", "vignette", "mask"),
+    static=("roi", "work_roi"),
+)
+
+
 @dataclass
 class StitchPlan:
     canvas_size: tuple  # (W, H)
@@ -55,6 +63,13 @@ class StitchPlan:
     gain: object = None
     blender: object = None
     blend_kind: str = "none"  # "multiband" | "feather" | "none"
+
+
+register_plan(
+    StitchPlan,
+    children=("inputs", "overlays", "gain", "blender"),
+    static=("canvas_size", "out_size", "blend_kind"),
+)
 
 
 def _nearest_indices(n_out, n_in):
@@ -151,15 +166,20 @@ class Mapper:
         self.plan = plan
         self.num_inputs = n
 
-        self._stitch_auto = jax.jit(lambda bufs: self._forward(bufs, None))
+        # the plan's arrays must be jit *arguments* (device-resident
+        # buffers), not embedded constants: on the hosted TPU tunnel,
+        # program literals are re-uploaded every execution (~25x slowdown)
+        self._plan_dev = jax.device_put(plan)
+        self._stitch_auto = jax.jit(
+            lambda plan, bufs: self._forward(plan, bufs, None)
+        )
         self._stitch_gains = jax.jit(
-            lambda bufs, g: self._forward(bufs, g)
+            lambda plan, bufs, g: self._forward(plan, bufs, g)
         )
 
     # ------------------------------------------------------------ forward
 
-    def _forward(self, yuv_inputs, ext_gains):
-        plan = self.plan
+    def _forward(self, plan, yuv_inputs, ext_gains):
         W, H = plan.canvas_size
 
         warped, work_norms = [], []
@@ -168,9 +188,10 @@ class Mapper:
             rgb = jnp.moveaxis(rgb, -1, 0)  # [3, H, W]
             if ip.vignette is not None:
                 rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
-            warped.append(remap_apply(rgb, ip.remap))
+            packed = pack_rgb(rgb)
+            warped.append(remap_apply_packed(packed, ip.remap))
             if ip.work_remap is not None and plan.gain is not None:
-                wimg = remap_apply(rgb, ip.work_remap)
+                wimg = remap_apply_packed(packed, ip.work_remap)
                 work_norms.append(
                     jnp.sqrt(jnp.sum(wimg * wimg, axis=0))
                 )
@@ -228,5 +249,7 @@ class Mapper:
         async.cpp:75-91 gain-sharing semantics)."""
         bufs = tuple(jnp.asarray(b) for b in yuv_inputs)
         if gains is None:
-            return self._stitch_auto(bufs)
-        return self._stitch_gains(bufs, jnp.asarray(gains, dtype=jnp.float32))
+            return self._stitch_auto(self._plan_dev, bufs)
+        return self._stitch_gains(
+            self._plan_dev, bufs, jnp.asarray(gains, dtype=jnp.float32)
+        )
