@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: stitched 4K frames/sec/chip on a 6-camera rig
+(BASELINE.json primary metric).
+
+Pipeline measured: YUV420P x6 (1920x1920 cams) -> vignette -> remap ->
+exposure-gain solve+apply -> 6-band multiband Laplacian blend -> 4K
+(3840x1920) equirect YUV420P out.  Steady-state, device-resident inputs
+(distinct buffers per iteration -- the hosted TPU runtime memoizes
+repeated executions with identical args).
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is
+measured against its implied real-time target of 30 fps live stitching
+(apps/livestitching defaults, async.cpp FPS meter).
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+PI = math.pi
+
+CANVAS_W, CANVAS_H = 3840, 1920
+CAM = 1920
+BLEND = 128
+ITERS = 12
+BASELINE_FPS = 30.0
+
+
+def six_cam_rig():
+    inputs = []
+    for yaw in (0, PI / 2, PI, -PI / 2):
+        inputs.append(
+            {
+                "type": "fullframe_fisheye",
+                "options": {
+                    "width": CAM,
+                    "height": CAM,
+                    "hfov": 1.75,
+                    "center_dx": 0.0,
+                    "center_dy": 0.0,
+                    "radial": [0.01, -0.02, 0.0],
+                    "vignette": [1.0, -0.15, 0.05, 0.0],
+                    "rotation": {"roll": 0.0, "yaw": yaw, "pitch": 0.0},
+                },
+            }
+        )
+    for pitch in (PI / 2, -PI / 2):
+        inputs.append(
+            {
+                "type": "fullframe_fisheye",
+                "options": {
+                    "width": CAM,
+                    "height": CAM,
+                    "hfov": 2.2,
+                    "center_dx": 0.0,
+                    "center_dy": 0.0,
+                    "radial": [0.01, -0.02, 0.0],
+                    "vignette": [1.0, -0.15, 0.05, 0.0],
+                    "rotation": {"roll": 0.0, "yaw": 0.0, "pitch": pitch},
+                },
+            }
+        )
+    return {
+        "output": {"type": "equirectangular", "options": {}},
+        "inputs": inputs,
+    }
+
+
+def main():
+    import jax
+
+    from octvr_tpu.stitch import Mapper
+    from octvr_tpu.template import compile_rig
+
+    t0 = time.time()
+    rig = six_cam_rig()
+    mt = compile_rig(rig, CANVAS_W, CANVAS_H)
+    mt.create_masks()
+    print(f"# template compiled in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    sizes = [(CAM, CAM)] * 6
+    t0 = time.time()
+    mapper = Mapper(mt, sizes, blend=BLEND, enable_gain=True)
+    print(f"# plan built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    base = [
+        rng.integers(0, 255, (CAM * 3 // 2, CAM), dtype=np.uint8)
+        for _ in range(6)
+    ]
+    frame_sets = []
+    for i in range(ITERS):
+        frame_sets.append(
+            tuple(
+                jax.device_put(
+                    np.clip(f.astype(np.int16) + i, 0, 255).astype(np.uint8)
+                )
+                for f in base
+            )
+        )
+    jax.block_until_ready([f for fs in frame_sets for f in fs])
+
+    t0 = time.time()
+    out, gains = mapper._stitch_auto(mapper._plan_dev, frame_sets[0])
+    out.block_until_ready()
+    print(f"# first call (compile+run) {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    outs = [
+        mapper._stitch_auto(mapper._plan_dev, fs)[0] for fs in frame_sets
+    ]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / ITERS
+    fps = 1.0 / dt
+    print(f"# steady-state {dt*1e3:.1f} ms/frame", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stitched_4k_fps_per_chip_6cam",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

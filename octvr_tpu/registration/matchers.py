@@ -1,0 +1,202 @@
+"""Pairwise feature matching + robust homography estimation.
+
+MXU-first redesign of BestOf2NearestMatcher (stitching/src/matchers.cpp:
+144-226, 581-658): Hamming distances of +-1 descriptor matrices are one
+matmul on the systolic array; 2-NN + ratio test both directions with set
+union; RANSAC runs as a *batch* of hypotheses (vectorized 4-point DLT +
+inlier counting as matmuls) instead of a sequential loop; confidence is
+Brown-Lowe num_inliers / (8 + 0.3 * num_matches).
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .features import ImageFeatures
+
+__all__ = ["MatchesInfo", "match_pair", "find_homography_ransac"]
+
+
+@dataclass
+class MatchesInfo:
+    src_idx: int = -1
+    dst_idx: int = -1
+    pairs: Optional[np.ndarray] = None  # [M, 2] int32 keypoint index pairs
+    valid: Optional[np.ndarray] = None  # [M] bool (ratio-test survivors)
+    inliers: Optional[np.ndarray] = None  # [M] bool (RANSAC)
+    num_inliers: int = 0
+    H: Optional[np.ndarray] = None  # [3, 3] f64 or None
+    confidence: float = 0.0
+
+
+@partial(jax.jit, static_argnames=())
+def _two_nn(d1, valid1, d2, valid2):
+    """Hamming 2-NN via MXU.  d*: [K, 256] in {-1,+1} (0 rows invalid)."""
+    dot = d1 @ d2.T  # [K1, K2]
+    ham = (256.0 - dot) * 0.5
+    big = 1e9
+    ham = jnp.where(valid1[:, None] & valid2[None, :], ham, big)
+    top2, idx2 = jax.lax.top_k(-ham, 2)
+    return -top2, idx2  # distances [K1, 2], indices [K1, 2]
+
+
+def match_pair(f1: ImageFeatures, f2: ImageFeatures, match_conf=0.3):
+    """2-NN ratio matching both directions with union (CpuMatcher
+    semantics).  Returns (pairs [M,2], valid [M]) as numpy."""
+    d12, i12 = _two_nn(f1.descriptors, f1.valid, f2.descriptors, f2.valid)
+    d21, i21 = _two_nn(f2.descriptors, f2.valid, f1.descriptors, f1.valid)
+    d12, i12, d21, i21 = (np.asarray(a) for a in (d12, i12, d21, i21))
+    ratio = 1.0 - match_conf
+
+    chosen = set()
+    pairs = []
+    k1 = d12.shape[0]
+    ok12 = d12[:, 0] < ratio * np.maximum(d12[:, 1], 1e-6)
+    for q in np.flatnonzero(ok12):
+        pairs.append((q, i12[q, 0]))
+        chosen.add((q, int(i12[q, 0])))
+    ok21 = d21[:, 0] < ratio * np.maximum(d21[:, 1], 1e-6)
+    for q in np.flatnonzero(ok21):
+        pair = (int(i21[q, 0]), q)
+        if pair not in chosen:
+            pairs.append(pair)
+    if not pairs:
+        return np.zeros((0, 2), np.int32), np.zeros((0,), bool)
+    pairs = np.asarray(pairs, dtype=np.int32)
+    return pairs, np.ones(len(pairs), dtype=bool)
+
+
+def _dlt(src, dst, weights=None):
+    """Homography by DLT (numpy f64).  src/dst [M, 2]."""
+    m = src.shape[0]
+    if weights is None:
+        weights = np.ones(m)
+    a = np.zeros((2 * m, 9))
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    w = weights
+    a[0::2, 0] = -x * w
+    a[0::2, 1] = -y * w
+    a[0::2, 2] = -w
+    a[0::2, 6] = u * x * w
+    a[0::2, 7] = u * y * w
+    a[0::2, 8] = u * w
+    a[1::2, 3] = -x * w
+    a[1::2, 4] = -y * w
+    a[1::2, 5] = -w
+    a[1::2, 6] = v * x * w
+    a[1::2, 7] = v * y * w
+    a[1::2, 8] = v * w
+    _, _, vt = np.linalg.svd(a, full_matrices=False)
+    h = vt[-1].reshape(3, 3)
+    if abs(h[2, 2]) > 1e-12:
+        h = h / h[2, 2]
+    return h
+
+
+def _project(H, pts):
+    p = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ H.T
+    z = p[:, 2:3]
+    z = np.where(np.abs(z) < 1e-12, 1e-12, z)
+    return p[:, :2] / z
+
+
+def find_homography_ransac(
+    src, dst, iters=1024, thresh=3.0, seed=0, min_matches=4
+):
+    """Batched-hypothesis RANSAC homography (numpy f64 host path; the
+    4-point solves and inlier counts are vectorized over all hypotheses).
+    Returns (H, inlier_mask) or (None, None)."""
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    m = len(src)
+    if m < min_matches:
+        return None, None
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(0, m, size=(iters, 4))
+    # reject degenerate samples lazily: their H will simply fit poorly
+    best_h, best_count, best_mask = None, -1, None
+
+    # batched 4-point DLT via per-hypothesis SVD
+    a = np.zeros((iters, 8, 9))
+    s = src[samples]  # [B, 4, 2]
+    d = dst[samples]
+    x, y = s[..., 0], s[..., 1]
+    u, v = d[..., 0], d[..., 1]
+    a[:, 0::2, 0] = -x
+    a[:, 0::2, 1] = -y
+    a[:, 0::2, 2] = -1
+    a[:, 0::2, 6] = u * x
+    a[:, 0::2, 7] = u * y
+    a[:, 0::2, 8] = u
+    a[:, 1::2, 3] = -x
+    a[:, 1::2, 4] = -y
+    a[:, 1::2, 5] = -1
+    a[:, 1::2, 6] = v * x
+    a[:, 1::2, 7] = v * y
+    a[:, 1::2, 8] = v
+    _, _, vt = np.linalg.svd(a, full_matrices=True)
+    hs = vt[:, -1].reshape(iters, 3, 3)  # [B, 3, 3]
+
+    # count inliers for every hypothesis at once
+    ones = np.ones((m, 1))
+    pts = np.concatenate([src, ones], axis=1)  # [M, 3]
+    proj = np.einsum("bij,mj->bmi", hs, pts)
+    z = proj[..., 2]
+    z = np.where(np.abs(z) < 1e-12, 1e-12, z)
+    pp = proj[..., :2] / z[..., None]
+    err = np.linalg.norm(pp - dst[None], axis=-1)
+    inl = err < thresh
+    counts = inl.sum(axis=1)
+    best = int(np.argmax(counts))
+    best_count = int(counts[best])
+    if best_count < min_matches:
+        return None, None
+    best_mask = inl[best]
+
+    # refit on inliers (DLT least squares), then re-evaluate, twice
+    for _ in range(2):
+        h = _dlt(src[best_mask], dst[best_mask])
+        err = np.linalg.norm(_project(h, src) - dst, axis=-1)
+        best_mask = err < thresh
+        if best_mask.sum() < min_matches:
+            return None, None
+    return _dlt(src[best_mask], dst[best_mask]), best_mask
+
+
+def match_images(features, match_conf=0.3, num_matches_thresh1=6, seed=0):
+    """All-pairs matching fan-out (FeaturesMatcher operator(),
+    matchers.cpp:530-555 + BestOf2NearestMatcher::match :581-658).
+    Returns dict {(i, j): MatchesInfo} for i<j."""
+    n = len(features)
+    out = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            f1, f2 = features[i], features[j]
+            pairs, valid = match_pair(f1, f2, match_conf)
+            mi = MatchesInfo(src_idx=i, dst_idx=j, pairs=pairs, valid=valid)
+            out[(i, j)] = mi
+            if len(pairs) < num_matches_thresh1:
+                continue
+            k1 = np.asarray(f1.keypoints)
+            k2 = np.asarray(f2.keypoints)
+            w1, h1 = f1.img_size
+            w2, h2 = f2.img_size
+            src = k1[pairs[:, 0]] - np.array([w1 * 0.5, h1 * 0.5])
+            dst = k2[pairs[:, 1]] - np.array([w2 * 0.5, h2 * 0.5])
+            H, inl = find_homography_ransac(src, dst, seed=seed + i * n + j)
+            if H is None or abs(np.linalg.det(H)) < np.finfo(float).eps:
+                continue
+            mi.H = H
+            mi.inliers = inl
+            mi.num_inliers = int(inl.sum())
+            conf = mi.num_inliers / (8 + 0.3 * len(pairs))
+            # drop too-close image pairs (matchers.cpp:631)
+            mi.confidence = 0.0 if conf > 3.0 else conf
+    return out

@@ -13,10 +13,21 @@ from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
-from scipy.ndimage import distance_transform_edt
+from scipy.ndimage import correlate1d, distance_transform_edt
 
 from ..ops.pyramid import pyr_down, pyr_up
 from ..utils.pytree import register_plan
+
+_K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def np_pyr_down(x):
+    """NumPy twin of ops.pyramid.pyr_down for [H, W] arrays (plan-time
+    only -- calling the jax version per template shape would trigger one
+    TPU compilation per shape)."""
+    y = correlate1d(x, _K5, axis=0, mode="mirror")
+    y = correlate1d(y, _K5, axis=1, mode="mirror")
+    return y[::2, ::2]
 
 WEIGHT_EPS = 1e-5
 
@@ -151,8 +162,7 @@ def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> Multi
         )
         pyr = [w0]
         for _ in range(num_bands):
-            nxt = np.asarray(pyr_down(jnp.asarray(pyr[-1])[None]))[0]
-            pyr.append(nxt)
+            pyr.append(np_pyr_down(pyr[-1]))
         weight_pyrs.append(pyr)
         for i in range(num_bands + 1):
             ox, oy = (ax - arx) >> i, (ay - ary) >> i
