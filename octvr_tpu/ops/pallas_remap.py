@@ -1,0 +1,435 @@
+"""Pallas TPU remap kernel — the speed-of-light path for the per-frame
+gather (replaces the XLA element-gather, which runs at well under
+1 G elements/s on TPU).
+
+Design (maps are static per template):
+
+* The output is processed in 8x128 tiles (one grid step per tile).
+* The smooth map bounds each tile's input window; the window is served
+  by a 2x2 group of (KH x KW) *blocked input refs* whose block indices
+  come from scalar-prefetched per-tile arrays (dynamic-offset HBM DMA is
+  not supported by this Mosaic build, but scalar-driven index_maps are —
+  and Pallas auto-pipelines and de-duplicates consecutive block
+  fetches).  KH/KW are sized from the template's measured spans.
+* Bilinear interpolation runs as a *row fan*: loop over the window rows
+  the tile actually uses (dynamic bounds, typically ~16 rows); for each
+  window row, per-lane values are pulled with take_along_axis on
+  (8, 128) tiles (the one gather shape Mosaic supports) and merged into
+  the two y-tap accumulators with vector compares.
+* Input pixels are packed RGB int32 (ops.remap.pack_rgb); channels
+  unpack after the horizontal taps.
+* Pixels whose window would exceed the 2x2 block group (extreme
+  minification tiles) are zero-weighted in-kernel and patched by a tiny
+  sparse XLA-gather residual pass.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.pytree import register_plan
+
+TH, TW = 8, 128
+
+__all__ = ["PallasRemapPlan", "pallas_remap_plan", "pallas_remap_apply"]
+
+
+@dataclass
+class PallasRemapPlan:
+    # static
+    out_shape: tuple  # (rh, rw) true output size
+    in_shape: tuple  # (H, W)
+    KH: int  # block height (window = 2*KH rows)
+    KW: int  # block width (window = 2*KW cols)
+    nt: int
+    # per-tile scalars [nt] i32
+    by: object  # window row-block index
+    bx: object  # window col-block index
+    by2: object  # clamped by+1
+    bx2: object  # clamped bx+1
+    row_lo: object  # first window row used
+    row_hi: object  # one past last window row used
+    # per-pixel tile-major arrays [nt, 8, 128]
+    oy0: object  # window-relative row of the y0 tap, [0, 2*KH)
+    oy1: object
+    ox0: object  # window-relative col of the x0 tap, [0, 2*KW)
+    ox1: object
+    fx: object
+    fy: object
+    valid: object
+    # sparse residual
+    res_out: object  # [R] i32 flat output indices
+    res_idx: object  # [4, R] i32 flat (padded) input indices
+    res_w: object  # [4, R] f32
+
+
+register_plan(
+    PallasRemapPlan,
+    children=(
+        "by",
+        "bx",
+        "by2",
+        "bx2",
+        "row_lo",
+        "row_hi",
+        "oy0",
+        "oy1",
+        "ox0",
+        "ox1",
+        "fx",
+        "fy",
+        "valid",
+        "res_out",
+        "res_idx",
+        "res_w",
+    ),
+    static=("out_shape", "in_shape", "KH", "KW", "nt"),
+)
+
+
+def pallas_remap_plan(
+    map1: np.ndarray,
+    map2: np.ndarray,
+    in_h: int,
+    in_w: int,
+    max_kh: int = 256,
+    max_kw: int = 512,
+) -> PallasRemapPlan:
+    """Build the tiled gather plan from normalized maps (-1 = invalid)."""
+    rh, rw = map1.shape
+    nty, ntx = -(-rh // TH), -(-rw // TW)
+    nt = nty * ntx
+    hp, wp = nty * TH, ntx * TW
+
+    def padmap(a, fill):
+        out = np.full((hp, wp), fill, dtype=a.dtype)
+        out[:rh, :rw] = a
+        return out
+
+    m1 = padmap(map1, -1.0)
+    m2 = padmap(map2, -1.0)
+    invalid = m1 < 0
+
+    px = m1.astype(np.float64) * in_w - 0.5
+    py = m2.astype(np.float64) * in_h - 0.5
+    x0f = np.floor(px)
+    y0f = np.floor(py)
+    fx = (px - x0f).astype(np.float32)
+    fy = (py - y0f).astype(np.float32)
+    xi0 = np.clip(x0f, 0, in_w - 1).astype(np.int64)
+    yi0 = np.clip(y0f, 0, in_h - 1).astype(np.int64)
+    xi1 = np.minimum(xi0 + 1, in_w - 1)
+    yi1 = np.minimum(yi0 + 1, in_h - 1)
+    fx[invalid] = 0.0
+    fy[invalid] = 0.0
+
+    def tileize(a):
+        return (
+            a.reshape(nty, TH, ntx, TW)
+            .transpose(0, 2, 1, 3)
+            .reshape(nt, TH, TW)
+        )
+
+    big = 1 << 30
+    t_y0 = tileize(np.where(invalid, big, yi0))
+    t_y1 = tileize(np.where(invalid, -big, yi1))
+    t_x0 = tileize(np.where(invalid, big, xi0))
+    t_x1 = tileize(np.where(invalid, -big, xi1))
+    t_invalid = tileize(invalid)
+
+    ymin = t_y0.reshape(nt, -1).min(axis=1)
+    ymax = t_y1.reshape(nt, -1).max(axis=1)
+    xmin = t_x0.reshape(nt, -1).min(axis=1)
+    xmax = t_x1.reshape(nt, -1).max(axis=1)
+    all_invalid = t_invalid.reshape(nt, -1).all(axis=1)
+    for arr in (ymin, ymax, xmin, xmax):
+        arr[all_invalid] = 0
+
+    # typical spans decide the block size; oversized tiles go residual
+    yspan = np.where(all_invalid, 0, ymax - ymin + 1)
+    xspan = np.where(all_invalid, 0, xmax - xmin + 1)
+    KH = int(min(max(-(-int(np.percentile(yspan, 99.5) + 2) // TH) * TH, TH), max_kh))
+    KW = int(
+        min(max(-(-int(np.percentile(xspan, 99.5) + 2) // TW) * TW, TW), max_kw)
+    )
+
+    nb = KW // TW
+    hp_in = -(-in_h // KH) * KH
+    # pad the x extent so the 2*nb column blocks always exist
+    wp_in = max(-(-in_w // TW) * TW, 2 * KW)
+    nby = hp_in // KH
+    nbx_tw = wp_in // TW
+
+    by = np.clip(ymin // KH, 0, nby - 1).astype(np.int32)
+    by2 = np.minimum(by + 1, nby - 1).astype(np.int32)
+    # bx in units of TW; the window spans 2*nb column blocks
+    bx = np.clip(xmin // TW, 0, nbx_tw - 2 * nb).astype(np.int32)
+    bx2 = bx  # unused (kept for the plan layout)
+
+    oy0 = (tileize(yi0) - by[:, None, None] * KH).astype(np.int64)
+    oy1 = (tileize(yi1) - by[:, None, None] * KH).astype(np.int64)
+    ox0 = (tileize(xi0) - bx[:, None, None] * TW).astype(np.int64)
+    ox1 = (tileize(xi1) - bx[:, None, None] * TW).astype(np.int64)
+
+    in_win = (
+        (oy0 >= 0) & (oy1 < 2 * KH) & (ox0 >= 0) & (ox1 < 2 * KW)
+    )
+    # the second y block may be a clamped duplicate at the image edge
+    dup_y = (by2 == by)[:, None, None]
+    in_win &= np.where(dup_y, oy1 < KH, True)
+
+    covered = in_win & ~t_invalid
+    valid = covered.astype(np.float32)
+
+    row_lo = np.where(covered, oy0, big).reshape(nt, -1).min(axis=1)
+    row_hi = np.where(covered, oy1, -big).reshape(nt, -1).max(axis=1) + 1
+    none_cov = ~covered.reshape(nt, -1).any(axis=1)
+    row_lo[none_cov] = 0
+    row_hi[none_cov] = 0
+    row_lo = np.clip(row_lo, 0, 2 * KH).astype(np.int32)
+    row_hi = np.clip(row_hi, 0, 2 * KH).astype(np.int32)
+
+    oy0c = np.clip(oy0, 0, 2 * KH - 1).astype(np.int32)
+    oy1c = np.clip(oy1, 0, 2 * KH - 1).astype(np.int32)
+    ox0c = np.clip(ox0, 0, 2 * KW - 1).astype(np.int32)
+    ox1c = np.clip(ox1, 0, 2 * KW - 1).astype(np.int32)
+
+    # ---- residual pixels
+    resid = (~in_win) & ~t_invalid
+    res_t, res_r, res_c = np.nonzero(resid)
+    tyi, txi = res_t // ntx, res_t % ntx
+    gr = tyi * TH + res_r
+    gc = txi * TW + res_c
+    keep = (gr < rh) & (gc < rw)
+    gr, gc, res_t, res_r, res_c = (
+        a[keep] for a in (gr, gc, res_t, res_r, res_c)
+    )
+    res_out = (gr * rw + gc).astype(np.int32)
+    fyr = tileize(fy)[res_t, res_r, res_c]
+    fxr = tileize(fx)[res_t, res_r, res_c]
+    yi0r = tileize(yi0)[res_t, res_r, res_c]
+    yi1r = tileize(yi1)[res_t, res_r, res_c]
+    xi0r = tileize(xi0)[res_t, res_r, res_c]
+    xi1r = tileize(xi1)[res_t, res_r, res_c]
+    ridx = np.stack(
+        [
+            yi0r * wp_in + xi0r,
+            yi0r * wp_in + xi1r,
+            yi1r * wp_in + xi0r,
+            yi1r * wp_in + xi1r,
+        ]
+    ).astype(np.int32)
+    rw_ = np.stack(
+        [
+            (1 - fxr) * (1 - fyr),
+            fxr * (1 - fyr),
+            (1 - fxr) * fyr,
+            fxr * fyr,
+        ]
+    ).astype(np.float32)
+
+    return PallasRemapPlan(
+        out_shape=(rh, rw),
+        in_shape=(in_h, in_w),
+        KH=KH,
+        KW=KW,
+        nt=nt,
+        by=by,
+        bx=bx,
+        by2=by2,
+        bx2=bx2,
+        row_lo=row_lo,
+        row_hi=row_hi,
+        oy0=oy0c,
+        oy1=oy1c,
+        ox0=ox0c,
+        ox1=ox1c,
+        fx=tileize(fx),
+        fy=tileize(fy),
+        valid=valid,
+        res_out=res_out,
+        res_idx=ridx,
+        res_w=rw_,
+    )
+
+
+def _kernel(KH, KW, nb):
+    """nb = KW // 128 blocks per window half; window refs are one
+    (KH, 128) blocked ref per (row-half, column-block) — Mosaic rejects
+    lane-offset slicing, so every column block is its own ref."""
+
+    def kern(*args):
+        (by_s, bx_s, by2_s, bx2_s, lo_s, hi_s) = args[:6]
+        (oy0, oy1, ox0, ox1, fx, fy, valid) = args[6:13]
+        wins_top = args[13 : 13 + 2 * nb]
+        wins_bot = args[13 + 2 * nb : 13 + 4 * nb]
+        out_r, out_g, out_b = args[13 + 4 * nb : 16 + 4 * nb]
+
+        t = pl.program_id(0)
+        oy0v = oy0[0]
+        oy1v = oy1[0]
+        ox0v = ox0[0]
+        ox1v = ox1[0]
+        fxv = fx[0]
+        fyv = fy[0]
+
+        b0 = ox0v >> 7
+        l0 = ox0v & 127
+        b1 = ox1v >> 7
+        l1 = ox1v & 127
+
+        def unpack(v):
+            return (
+                (v & 0xFF).astype(jnp.float32),
+                ((v >> 8) & 0xFF).astype(jnp.float32),
+                ((v >> 16) & 0xFF).astype(jnp.float32),
+            )
+
+        def body(k, accs):
+            a0r, a0g, a0b, a1r, a1g, a1b = accs
+            top = k < KH
+            kt = jnp.minimum(k, KH - 1)
+            kb = jnp.maximum(k - KH, 0)
+
+            v0 = jnp.zeros((TH, TW), dtype=jnp.int32)
+            v1 = jnp.zeros((TH, TW), dtype=jnp.int32)
+            for b in range(2 * nb):
+                rowv = jnp.where(
+                    top,
+                    wins_top[b][pl.ds(kt, 1), :],
+                    wins_bot[b][pl.ds(kb, 1), :],
+                )  # (1, TW)
+                rep = jnp.broadcast_to(rowv, (TH, TW))
+                s0 = jnp.take_along_axis(rep, l0, axis=1)
+                s1 = jnp.take_along_axis(rep, l1, axis=1)
+                v0 = jnp.where(b0 == b, s0, v0)
+                v1 = jnp.where(b1 == b, s1, v1)
+
+            r0, g0, bb0 = unpack(v0)
+            r1, g1, bb1 = unpack(v1)
+            hr = r0 * (1.0 - fxv) + r1 * fxv
+            hg = g0 * (1.0 - fxv) + g1 * fxv
+            hb = bb0 * (1.0 - fxv) + bb1 * fxv
+            m0 = (oy0v == k).astype(jnp.float32)
+            m1 = (oy1v == k).astype(jnp.float32)
+            return (
+                a0r + hr * m0,
+                a0g + hg * m0,
+                a0b + hb * m0,
+                a1r + hr * m1,
+                a1g + hg * m1,
+                a1b + hb * m1,
+            )
+
+        zeros = jnp.zeros((TH, TW), dtype=jnp.float32)
+        accs = jax.lax.fori_loop(
+            lo_s[t], hi_s[t], body, (zeros,) * 6
+        )
+        a0r, a0g, a0b, a1r, a1g, a1b = accs
+        vv = valid[0]
+        out_r[0] = (a0r * (1.0 - fyv) + a1r * fyv) * vv
+        out_g[0] = (a0g * (1.0 - fyv) + a1g * fyv) * vv
+        out_b[0] = (a0b * (1.0 - fyv) + a1b * fyv) * vv
+
+    return kern
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
+    """packed: int32 [H, W] (pack_rgb output reshaped 2-D).
+    Returns f32 [3, rh, rw]."""
+    rh, rw = plan.out_shape
+    in_h, in_w = plan.in_shape
+    KH, KW, nt = plan.KH, plan.KW, plan.nt
+    nb = KW // TW
+    ntx = -(-rw // TW)
+    nty = nt // ntx
+
+    hp_in = -(-in_h // KH) * KH
+    wp_in = max(-(-in_w // TW) * TW, 2 * KW)
+    if (hp_in, wp_in) != (in_h, in_w):
+        packed = jnp.pad(packed, ((0, hp_in - in_h), (0, wp_in - in_w)))
+
+    tile_spec = pl.BlockSpec(
+        (1, TH, TW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def win_spec(sy, c):
+        def imap(t, by_s, bx_s, by2_s, bx2_s, lo_s, hi_s):
+            yy = by2_s[t] if sy else by_s[t]
+            return (yy, bx_s[t] + c)
+
+        return pl.BlockSpec((KH, TW), imap, memory_space=pltpu.VMEM)
+
+    win_specs = [win_spec(0, c) for c in range(2 * nb)] + [
+        win_spec(1, c) for c in range(2 * nb)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nt,),
+        in_specs=[
+            tile_spec,  # oy0
+            tile_spec,  # oy1
+            tile_spec,  # ox0
+            tile_spec,  # ox1
+            tile_spec,  # fx
+            tile_spec,  # fy
+            tile_spec,  # valid
+        ]
+        + win_specs,
+        out_specs=[tile_spec, tile_spec, tile_spec],
+    )
+    shape = jax.ShapeDtypeStruct((nt, TH, TW), jnp.float32)
+    r, g, b = pl.pallas_call(
+        _kernel(KH, KW, nb),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape, shape],
+        interpret=interpret,
+    )(
+        plan.by,
+        plan.bx,
+        plan.by2,
+        plan.bx2,
+        plan.row_lo,
+        plan.row_hi,
+        plan.oy0,
+        plan.oy1,
+        plan.ox0,
+        plan.ox1,
+        plan.fx,
+        plan.fy,
+        plan.valid,
+        *([packed] * (4 * nb)),
+    )
+
+    def untile(a):
+        return (
+            a.reshape(nty, ntx, TH, TW)
+            .transpose(0, 2, 1, 3)
+            .reshape(nty * TH, ntx * TW)[:rh, :rw]
+        )
+
+    out = jnp.stack([untile(r), untile(g), untile(b)])
+
+    if plan.res_out.shape[0]:
+        flat = packed.reshape(-1)
+        acc = jnp.zeros((3, plan.res_out.shape[0]), dtype=jnp.float32)
+        for k in range(4):
+            gv = jnp.take(flat, plan.res_idx[k])
+            chans = jnp.stack(
+                [
+                    (gv & 0xFF).astype(jnp.float32),
+                    ((gv >> 8) & 0xFF).astype(jnp.float32),
+                    ((gv >> 16) & 0xFF).astype(jnp.float32),
+                ]
+            )
+            acc = acc + chans * plan.res_w[k][None]
+        out = (
+            out.reshape(3, -1).at[:, plan.res_out].set(acc).reshape(3, rh, rw)
+        )
+    return out

@@ -1,0 +1,120 @@
+"""Streaming multi-output stitch pipeline — the AsyncMultiMapper role
+(octvr/src/async.{hpp,cpp}).
+
+The reference runs 5 worker threads over blocking queues with triple
+buffering (copy-in, H2D, stitch, D2H, copy-out; async.cpp:337-349,
+BUF_SIZE=3 :261).  On TPU the device work is dispatched asynchronously
+by the runtime, so the pipeline needs only three host stages:
+
+  feed thread:    pin/convert frames -> jax.device_put (async H2D)
+  stitch thread:  dispatch the jitted stitch (returns immediately)
+  drain thread:   block on the oldest in-flight output, np.asarray (D2H)
+
+Multiple outputs (multi-region stereo layouts) are one Mapper each with
+gain sharing across outputs (gain_modes semantics, async.hpp:79:
+-1 = off, k == own index -> solve, k != own -> copy output k's gains).
+"""
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .timer import FpsMeter
+
+BUF_SIZE = 3  # frames in flight, like async.cpp:261
+
+__all__ = ["AsyncMultiMapper", "BUF_SIZE"]
+
+
+class _Stop:
+    pass
+
+
+_STOP = _Stop()
+
+
+class AsyncMultiMapper:
+    """mappers: list of Mapper (one per output region); gain_modes: per
+    output, -1 = no compensation, own-index = solve, other-index = reuse
+    that output's gains."""
+
+    def __init__(self, mappers: List, gain_modes: Optional[List[int]] = None):
+        import jax
+
+        self._jax = jax
+        self.mappers = mappers
+        n_out = len(mappers)
+        self.gain_modes = (
+            list(gain_modes) if gain_modes is not None else list(range(n_out))
+        )
+        assert len(self.gain_modes) == n_out
+
+        self._in_q = queue.Queue(maxsize=BUF_SIZE)
+        self._flight_q = queue.Queue(maxsize=BUF_SIZE)
+        self._out_q = queue.Queue(maxsize=BUF_SIZE)
+        self.fps = FpsMeter()
+        self._threads = [
+            threading.Thread(target=self._run_stitch, daemon=True),
+            threading.Thread(target=self._run_drain, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    # ----------------------------------------------------------- stages
+
+    def _run_stitch(self):
+        jax = self._jax
+        while True:
+            item = self._in_q.get()
+            if isinstance(item, _Stop):
+                self._flight_q.put(_STOP)
+                return
+            frames = [jax.device_put(f) for f in item]
+            outs = [None] * len(self.mappers)
+            gains = [None] * len(self.mappers)
+            # solve owners first, then gain-copiers (async.cpp:75-91)
+            order = sorted(
+                range(len(self.mappers)),
+                key=lambda k: 0 if self.gain_modes[k] in (-1, k) else 1,
+            )
+            for k in order:
+                mode = self.gain_modes[k]
+                if mode == -1 or mode == k:
+                    out, g = self.mappers[k].stitch(frames)
+                else:
+                    out, g = self.mappers[k].stitch(frames, gains=gains[mode])
+                outs[k] = out
+                gains[k] = g
+            self._flight_q.put(outs)
+
+    def _run_drain(self):
+        while True:
+            item = self._flight_q.get()
+            if isinstance(item, _Stop):
+                self._out_q.put(_STOP)
+                return
+            host = [np.asarray(o) for o in item]  # blocks until ready
+            self.fps.tick()
+            self._out_q.put(host)
+
+    # ------------------------------------------------------------- API
+
+    def push(self, frames):
+        """frames: list of [Hi*3/2, Wi] uint8 YUV420P arrays (one per
+        camera).  Blocks when BUF_SIZE frames are in flight."""
+        self._in_q.put(list(frames))
+
+    def pop(self):
+        """Returns list of per-output YUV420P numpy arrays (blocks)."""
+        out = self._out_q.get()
+        if isinstance(out, _Stop):
+            raise StopIteration
+        return out
+
+    def close(self):
+        self._in_q.put(_STOP)
+        for t in self._threads:
+            t.join(timeout=30)

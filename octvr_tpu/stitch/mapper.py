@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.color import rgb_to_yuv420p, yuv420p_to_rgb
+from ..ops.pallas_remap import pallas_remap_apply, pallas_remap_plan
 from ..ops.remap import pack_rgb, remap_apply_packed, remap_plan
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..template.compiler import MapperTemplate
@@ -89,8 +90,10 @@ class Mapper:
         blend: int = 128,
         enable_gain: bool = True,
         scale_output=None,
+        use_pallas: bool = True,
     ):
         n = len(mt.inputs)
+        self.use_pallas = use_pallas and jax.default_backend() == "tpu"
         if n == 1:
             blend = 0
             enable_gain = False
@@ -108,7 +111,10 @@ class Mapper:
             is_overlay = idx >= n
             in_h, in_w = in_sizes[idx]
             rx, ry, rw, rh = inp.roi
-            rp = remap_plan(inp.map1, inp.map2, in_h, in_w)
+            if self.use_pallas:
+                rp = pallas_remap_plan(inp.map1, inp.map2, in_h, in_w)
+            else:
+                rp = remap_plan(inp.map1, inp.map2, in_h, in_w)
 
             wrp = None
             wroi = None
@@ -189,7 +195,11 @@ class Mapper:
             if ip.vignette is not None:
                 rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
             packed = pack_rgb(rgb)
-            warped.append(remap_apply_packed(packed, ip.remap))
+            if self.use_pallas:
+                packed2d = packed.reshape(rgb.shape[1], rgb.shape[2])
+                warped.append(pallas_remap_apply(packed2d, ip.remap))
+            else:
+                warped.append(remap_apply_packed(packed, ip.remap))
             if ip.work_remap is not None and plan.gain is not None:
                 wimg = remap_apply_packed(packed, ip.work_remap)
                 work_norms.append(

@@ -45,6 +45,7 @@ class MapperTemplate:
     _visible_mask: Optional[np.ndarray] = None
     _output_cam: object = None
     _out_lonlat: Optional[np.ndarray] = None
+    _input_cams: List = field(default_factory=list)
 
     # ------------------------------------------------------------ building
 
@@ -129,6 +130,7 @@ class MapperTemplate:
             vignette=vignette_map(cam_opts),
         )
         (self.overlay_inputs if overlay else self.inputs).append(inp)
+        self._input_cams.append(cam)
         return inp
 
     # ---------------------------------------------------------- seam masks
@@ -209,6 +211,7 @@ def compile_rig(rig: dict, width: int, height: int = 0) -> MapperTemplate:
     mt = MapperTemplate.create(out["type"], out.get("options", {}), width, height)
     for inp in rig.get("inputs", []):
         mt.add_input(inp["type"], inp.get("options", {}), overlay=False)
-    for inp in rig.get("overlay_inputs", []):
+    # the reference CLI uses the key "overlays" (dump.cpp:87)
+    for inp in rig.get("overlays", rig.get("overlay_inputs", [])):
         mt.add_input(inp["type"], inp.get("options", {}), overlay=True)
     return mt
