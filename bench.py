@@ -25,7 +25,7 @@ PI = math.pi
 CANVAS_W, CANVAS_H = 3840, 1920
 CAM = 1920
 BLEND = 128
-ITERS = 12
+ITERS = 24
 BASELINE_FPS = 30.0
 
 
@@ -103,19 +103,24 @@ def main():
         )
     jax.block_until_ready([f for fs in frame_sets for f in fs])
 
+    import jax.numpy as jnp
+
     t0 = time.time()
     out, gains = mapper._stitch_auto(mapper._plan_dev, frame_sets[0])
-    out.block_until_ready()
+    _sync = float(jnp.sum(out[::101, ::103].astype(jnp.int32)))
     print(f"# first call (compile+run) {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # dispatch all frames, then force a value readback of the LAST output:
+    # the device executes in order, so this syncs the whole queue (plain
+    # block_until_ready does not wait for execution on the hosted tunnel)
     t0 = time.time()
     outs = [
         mapper._stitch_auto(mapper._plan_dev, fs)[0] for fs in frame_sets
     ]
-    jax.block_until_ready(outs)
+    _sync = float(jnp.sum(outs[-1][::101, ::103].astype(jnp.int32)))
     dt = (time.time() - t0) / ITERS
     fps = 1.0 / dt
-    print(f"# steady-state {dt*1e3:.1f} ms/frame", file=sys.stderr)
+    print(f"# steady-state {dt*1e3:.1f} ms/frame (value-synced)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -1,0 +1,122 @@
+"""Live streaming stitcher — the FFmpeg vr_map filter / OwlLiveCore role
+(modules/octvr/readme.md:16-28, apps/livestitching/mainwindow.cpp:91-108):
+N raw YUV420P input streams -> pipelined stitch -> one (or several) raw
+YUV420P output streams, with per-stage timing and a rolling FPS meter.
+
+Usage:
+  python -m octvr_tpu.cli.stream \
+      --inputs in0.yuv,in1.yuv,... --in_size 1920x1920 \
+      --outputs tmpl0.dat[:blend[:gain_mode]],tmpl1.dat... \
+      --out out0.yuv[,out1.yuv...] [--frames N] [--preview prefix]
+
+Raw streams interoperate with ffmpeg, e.g.
+  ffmpeg -i cam0.mp4 -pix_fmt yuv420p -f rawvideo in0.yuv
+  ffmpeg -f rawvideo -pix_fmt yuv420p -s 3840x1920 -i out0.yuv pano.mp4
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inputs", required=True, help="comma-separated paths")
+    ap.add_argument("--in_size", required=True, help="WxH of every input")
+    ap.add_argument(
+        "--outputs",
+        required=True,
+        help="template[:blend[:gain_mode]] per output, comma-separated",
+    )
+    ap.add_argument("--out", required=True, help="output stream paths")
+    ap.add_argument("--frames", type=int, default=0, help="stop after N")
+    ap.add_argument("--preview", default=None, help="PNG prefix per frame")
+    args = ap.parse_args(argv)
+
+    from ..runtime import AsyncMultiMapper, FpsMeter, Timer
+    from ..runtime.native_io import FrameReader, FrameWriter
+    from ..stitch import Mapper
+    from ..template import load_dat, load_npz
+
+    w_in, h_in = (int(v) for v in args.in_size.lower().split("x"))
+    in_paths = args.inputs.split(",")
+    readers = [FrameReader(p, w_in, h_in) for p in in_paths]
+
+    mappers, gain_modes = [], []
+    for k, spec in enumerate(args.outputs.split(",")):
+        parts = spec.split(":")
+        path = parts[0]
+        blend = int(parts[1]) if len(parts) > 1 else 128
+        gain_mode = int(parts[2]) if len(parts) > 2 else k
+        mt = (
+            load_npz(path)
+            if path.endswith(".npz")
+            else load_dat(open(path, "rb"))
+        )
+        assert len(mt.inputs) == len(readers), (
+            f"template {path} wants {len(mt.inputs)} inputs"
+        )
+        mappers.append(
+            Mapper(
+                mt,
+                [(h_in, w_in)] * len(readers),
+                blend=blend,
+                enable_gain=gain_mode >= 0,
+            )
+        )
+        gain_modes.append(gain_mode)
+
+    writers = [
+        FrameWriter(p, m.plan.out_size[0], m.plan.out_size[1])
+        for p, m in zip(args.out.split(","), mappers)
+    ]
+
+    amm = AsyncMultiMapper(mappers, gain_modes=gain_modes)
+    timer = Timer("stream")
+    n_pushed = n_popped = 0
+    eof = False
+    try:
+        while not eof:
+            frames = []
+            for r in readers:
+                item = r.next()
+                if item is None:
+                    eof = True
+                    break
+                frames.append(item[1])
+            if eof:
+                break
+            amm.push(frames)
+            n_pushed += 1
+            # drain opportunistically to keep the pipeline at depth
+            while not amm._out_q.empty() or (n_pushed - n_popped) >= 3:
+                outs = amm.pop()
+                for wtr, o in zip(writers, outs):
+                    wtr.push(o)
+                n_popped += 1
+                if n_popped % 10 == 0:
+                    print(
+                        f"# frame {n_popped}  fps {amm.fps.tick():.2f}",
+                        file=sys.stderr,
+                    )
+            if args.frames and n_pushed >= args.frames:
+                break
+        while n_popped < n_pushed:
+            outs = amm.pop()
+            for wtr, o in zip(writers, outs):
+                wtr.push(o)
+            n_popped += 1
+    finally:
+        amm.close()
+        for r in readers:
+            r.close()
+        for wtr in writers:
+            wtr.close()
+    timer.tick(f"{n_popped} frames")
+    print(f"# done: {n_popped} frames", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
