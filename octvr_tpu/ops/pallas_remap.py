@@ -99,6 +99,9 @@ def pallas_remap_plan(
     in_w: int,
     max_kh: int = 256,
     max_kw: int = 512,
+    force_kh: int = None,
+    force_kw: int = None,
+    pad_nt: int = None,
 ) -> PallasRemapPlan:
     """Build the tiled gather plan from normalized maps (-1 = invalid)."""
     rh, rw = map1.shape
@@ -157,6 +160,10 @@ def pallas_remap_plan(
     KW = int(
         min(max(-(-int(np.percentile(xspan, 99.5) + 2) // TW) * TW, TW), max_kw)
     )
+    if force_kh is not None:
+        KH = force_kh
+    if force_kw is not None:
+        KW = force_kw
 
     nb = KW // TW
     hp_in = -(-in_h // KH) * KH
@@ -233,12 +240,41 @@ def pallas_remap_plan(
         ]
     ).astype(np.float32)
 
+    # pad the tile axis so kernels with equal (KH, KW, nt) are shared
+    # across inputs (one Mosaic compile instead of one per input)
+    if pad_nt is not None and pad_nt > nt:
+        extra = pad_nt - nt
+
+        def padt(a, fill=0):
+            return np.concatenate(
+                [a, np.full((extra,) + a.shape[1:], fill, dtype=a.dtype)]
+            )
+
+        by = padt(by)
+        by2 = padt(by2)
+        bx = padt(bx)
+        bx2 = padt(bx2)
+        row_lo = padt(row_lo)
+        row_hi = padt(row_hi)  # rows 0..0 -> empty loop for pad tiles
+        oy0c = padt(oy0c)
+        oy1c = padt(oy1c)
+        ox0c = padt(ox0c)
+        ox1c = padt(ox1c)
+        fx_t = padt(tileize(fx))
+        fy_t = padt(tileize(fy))
+        valid = padt(valid)
+        nt_padded = pad_nt
+    else:
+        fx_t = tileize(fx)
+        fy_t = tileize(fy)
+        nt_padded = nt
+
     return PallasRemapPlan(
         out_shape=(rh, rw),
         in_shape=(in_h, in_w),
         KH=KH,
         KW=KW,
-        nt=nt,
+        nt=nt_padded,
         by=by,
         bx=bx,
         by2=by2,
@@ -249,8 +285,8 @@ def pallas_remap_plan(
         oy1=oy1c,
         ox0=ox0c,
         ox1=ox1c,
-        fx=tileize(fx),
-        fy=tileize(fy),
+        fx=fx_t,
+        fy=fy_t,
         valid=valid,
         res_out=res_out,
         res_idx=ridx,
@@ -348,7 +384,7 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
     KH, KW, nt = plan.KH, plan.KW, plan.nt
     nb = KW // TW
     ntx = -(-rw // TW)
-    nty = nt // ntx
+    nty = -(-rh // TH)
 
     hp_in = -(-in_h // KH) * KH
     wp_in = max(-(-in_w // TW) * TW, 2 * KW)
@@ -409,7 +445,8 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
 
     def untile(a):
         return (
-            a.reshape(nty, ntx, TH, TW)
+            a[: nty * ntx]
+            .reshape(nty, ntx, TH, TW)
             .transpose(0, 2, 1, 3)
             .reshape(nty * TH, ntx * TW)[:rh, :rw]
         )
