@@ -95,3 +95,30 @@ def merge_uyvy(y, u, v):
     y2 = y.reshape(h, w // 2, 2)
     quads = jnp.stack([u, y2[..., 0], v, y2[..., 1]], axis=-1)
     return quads.reshape(h, w * 2)
+
+
+def split_nv12(buf):
+    """NV12 [H*3/2, W] packed -> (Y [H,W], U [H/2,W/2], V [H/2,W/2]);
+    bottom block is interleaved UVUV rows (the FastMapper mobile layout,
+    mapper_fast.cpp:153-176)."""
+    h = buf.shape[0] * 2 // 3
+    y = buf[:h]
+    uv = buf[h:].reshape(h // 2, -1, 2)
+    return y, uv[..., 0], uv[..., 1]
+
+
+def merge_nv12(y, u, v):
+    h, w = y.shape
+    uv = jnp.stack([u, v], axis=-1).reshape(h // 2, w)
+    return jnp.concatenate([y, uv], axis=0)
+
+
+def nv12_to_rgb(buf, dtype=jnp.float32):
+    y, u, v = split_nv12(buf)
+    return yuv420p_to_rgb(merge_yuv420p(y, u, v), dtype)
+
+
+def rgb_to_nv12(rgb):
+    buf = rgb_to_yuv420p(rgb)
+    y, u, v = split_yuv420p(buf)
+    return merge_nv12(y, u, v)

@@ -294,17 +294,24 @@ def pallas_remap_plan(
     )
 
 
-def _kernel(KH, KW, nb):
+def _kernel(KH, KW, nb, batched=False):
     """nb = KW // 128 blocks per window half; window refs are one
     (KH, 128) blocked ref per (row-half, column-block) — Mosaic rejects
-    lane-offset slicing, so every column block is its own ref."""
+    lane-offset slicing, so every column block is its own ref.  In
+    batched mode the refs carry a leading image axis selected per tile
+    by a scalar-prefetched image index (all inputs share ONE kernel —
+    one Mosaic compile per template instead of one per input)."""
 
     def kern(*args):
-        (by_s, bx_s, by2_s, bx2_s, lo_s, hi_s) = args[:6]
-        (oy0, oy1, ox0, ox1, fx, fy, valid) = args[6:13]
-        wins_top = args[13 : 13 + 2 * nb]
-        wins_bot = args[13 + 2 * nb : 13 + 4 * nb]
-        out_r, out_g, out_b = args[13 + 4 * nb : 16 + 4 * nb]
+        ns = 7 if batched else 6
+        if batched:
+            (img_s, by_s, bx_s, by2_s, bx2_s, lo_s, hi_s) = args[:7]
+        else:
+            (by_s, bx_s, by2_s, bx2_s, lo_s, hi_s) = args[:6]
+        (oy0, oy1, ox0, ox1, fx, fy, valid) = args[ns : ns + 7]
+        wins_top = args[ns + 7 : ns + 7 + 2 * nb]
+        wins_bot = args[ns + 7 + 2 * nb : ns + 7 + 4 * nb]
+        out_r, out_g, out_b = args[ns + 7 + 4 * nb : ns + 10 + 4 * nb]
 
         t = pl.program_id(0)
         oy0v = oy0[0]
@@ -335,11 +342,18 @@ def _kernel(KH, KW, nb):
             v0 = jnp.zeros((TH, TW), dtype=jnp.int32)
             v1 = jnp.zeros((TH, TW), dtype=jnp.int32)
             for b in range(2 * nb):
-                rowv = jnp.where(
-                    top,
-                    wins_top[b][pl.ds(kt, 1), :],
-                    wins_bot[b][pl.ds(kb, 1), :],
-                )  # (1, TW)
+                if batched:
+                    rowv = jnp.where(
+                        top,
+                        wins_top[b][0, pl.ds(kt, 1), :],
+                        wins_bot[b][0, pl.ds(kb, 1), :],
+                    )  # (1, TW)
+                else:
+                    rowv = jnp.where(
+                        top,
+                        wins_top[b][pl.ds(kt, 1), :],
+                        wins_bot[b][pl.ds(kb, 1), :],
+                    )  # (1, TW)
                 rep = jnp.broadcast_to(rowv, (TH, TW))
                 s0 = jnp.take_along_axis(rep, l0, axis=1)
                 s1 = jnp.take_along_axis(rep, l1, axis=1)
@@ -470,3 +484,198 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
             out.reshape(3, -1).at[:, plan.res_out].set(acc).reshape(3, rh, rw)
         )
     return out
+
+
+# --------------------------------------------------------------- batched
+
+
+@dataclass
+class BatchedRemapPlan:
+    """Concatenation of per-input PallasRemapPlans sharing (KH, KW) and
+    input size, plus a per-tile image index -- one kernel serves every
+    input of a template."""
+
+    in_shape: tuple
+    KH: int
+    KW: int
+    nt: int  # total tiles
+    out_shapes: tuple  # per input (rh, rw)
+    tile_offsets: tuple  # per input start index into the tile axis
+    img: object  # [nt] i32
+    by: object
+    bx: object
+    by2: object
+    bx2: object
+    row_lo: object
+    row_hi: object
+    oy0: object
+    oy1: object
+    ox0: object
+    ox1: object
+    fx: object
+    fy: object
+    valid: object
+    res: tuple  # per input (res_out, res_idx, res_w)
+
+
+register_plan(
+    BatchedRemapPlan,
+    children=(
+        "img",
+        "by",
+        "bx",
+        "by2",
+        "bx2",
+        "row_lo",
+        "row_hi",
+        "oy0",
+        "oy1",
+        "ox0",
+        "ox1",
+        "fx",
+        "fy",
+        "valid",
+        "res",
+    ),
+    static=("in_shape", "KH", "KW", "nt", "out_shapes", "tile_offsets"),
+)
+
+
+def merge_remap_plans(maps, in_h, in_w):
+    """maps: list of (map1, map2).  Builds per-input plans with common
+    (KH, KW) and concatenates them into one BatchedRemapPlan."""
+    probes = [pallas_remap_plan(m1, m2, in_h, in_w) for m1, m2 in maps]
+    KH = max(p.KH for p in probes)
+    KW = max(p.KW for p in probes)
+    plans = [
+        pallas_remap_plan(m1, m2, in_h, in_w, force_kh=KH, force_kw=KW)
+        for m1, m2 in maps
+    ]
+    offs, img = [], []
+    start = 0
+    for i, p in enumerate(plans):
+        offs.append(start)
+        img.append(np.full(p.nt, i, dtype=np.int32))
+        start += p.nt
+
+    def cat(field):
+        return np.concatenate([getattr(p, field) for p in plans])
+
+    return BatchedRemapPlan(
+        in_shape=(in_h, in_w),
+        KH=KH,
+        KW=KW,
+        nt=start,
+        out_shapes=tuple(p.out_shape for p in plans),
+        tile_offsets=tuple(offs),
+        img=np.concatenate(img),
+        by=cat("by"),
+        bx=cat("bx"),
+        by2=cat("by2"),
+        bx2=cat("bx2"),
+        row_lo=cat("row_lo"),
+        row_hi=cat("row_hi"),
+        oy0=cat("oy0"),
+        oy1=cat("oy1"),
+        ox0=cat("ox0"),
+        ox1=cat("ox1"),
+        fx=cat("fx"),
+        fy=cat("fy"),
+        valid=cat("valid"),
+        res=tuple((p.res_out, p.res_idx, p.res_w) for p in plans),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=False):
+    """packed_stack: int32 [N, H, W].  Returns tuple of f32 [3, rh, rw]
+    per input."""
+    in_h, in_w = plan.in_shape
+    KH, KW, nt = plan.KH, plan.KW, plan.nt
+    nb = KW // TW
+
+    hp_in = -(-in_h // KH) * KH
+    wp_in = max(-(-in_w // TW) * TW, 2 * KW)
+    if (hp_in, wp_in) != (in_h, in_w):
+        packed_stack = jnp.pad(
+            packed_stack, ((0, 0), (0, hp_in - in_h), (0, wp_in - in_w))
+        )
+
+    tile_spec = pl.BlockSpec(
+        (1, TH, TW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def win_spec(sy, c):
+        def imap(t, img_s, by_s, bx_s, by2_s, bx2_s, lo_s, hi_s):
+            yy = by2_s[t] if sy else by_s[t]
+            return (img_s[t], yy, bx_s[t] + c)
+
+        return pl.BlockSpec((1, KH, TW), imap, memory_space=pltpu.VMEM)
+
+    win_specs = [win_spec(0, c) for c in range(2 * nb)] + [
+        win_spec(1, c) for c in range(2 * nb)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(nt,),
+        in_specs=[tile_spec] * 7 + win_specs,
+        out_specs=[tile_spec, tile_spec, tile_spec],
+    )
+    shape = jax.ShapeDtypeStruct((nt, TH, TW), jnp.float32)
+    r, g, b = pl.pallas_call(
+        _kernel(KH, KW, nb, batched=True),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape, shape],
+        interpret=interpret,
+    )(
+        plan.img,
+        plan.by,
+        plan.bx,
+        plan.by2,
+        plan.bx2,
+        plan.row_lo,
+        plan.row_hi,
+        plan.oy0,
+        plan.oy1,
+        plan.ox0,
+        plan.ox1,
+        plan.fx,
+        plan.fy,
+        plan.valid,
+        *([packed_stack] * (4 * nb)),
+    )
+
+    outs = []
+    for i, (rh, rw) in enumerate(plan.out_shapes):
+        ntx = -(-rw // TW)
+        nty = -(-rh // TH)
+        start = plan.tile_offsets[i]
+
+        def untile(a):
+            return (
+                a[start : start + nty * ntx]
+                .reshape(nty, ntx, TH, TW)
+                .transpose(0, 2, 1, 3)
+                .reshape(nty * TH, ntx * TW)[:rh, :rw]
+            )
+
+        out = jnp.stack([untile(r), untile(g), untile(b)])
+        res_out, res_idx, res_w = plan.res[i]
+        if res_out.shape[0]:
+            flat = packed_stack[i].reshape(-1)
+            acc = jnp.zeros((3, res_out.shape[0]), dtype=jnp.float32)
+            for k in range(4):
+                gv = jnp.take(flat, res_idx[k])
+                chans = jnp.stack(
+                    [
+                        (gv & 0xFF).astype(jnp.float32),
+                        ((gv >> 8) & 0xFF).astype(jnp.float32),
+                        ((gv >> 16) & 0xFF).astype(jnp.float32),
+                    ]
+                )
+                acc = acc + chans * res_w[k][None]
+            out = (
+                out.reshape(3, -1).at[:, res_out].set(acc).reshape(3, rh, rw)
+            )
+        outs.append(out)
+    return tuple(outs)

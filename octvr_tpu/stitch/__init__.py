@@ -7,10 +7,11 @@ from .blenders import (
     multiband_blend,
 )
 from .gain import GainPlan, build_gain_plan, solve_gains
-from .mapper import Mapper, StitchPlan
+from .mapper import FastMapper, Mapper, StitchPlan
 
 __all__ = [
     "Mapper",
+    "FastMapper",
     "StitchPlan",
     "GainPlan",
     "build_gain_plan",

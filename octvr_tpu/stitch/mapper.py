@@ -19,8 +19,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.color import rgb_to_yuv420p, yuv420p_to_rgb
-from ..ops.pallas_remap import pallas_remap_apply, pallas_remap_plan
+from ..ops.color import (
+    merge_yuv420p,
+    nv12_to_rgb,
+    rgb_to_nv12,
+    rgb_to_yuv420p,
+    split_nv12,
+    yuv420p_to_rgb,
+)
+from ..ops.pallas_remap import (
+    merge_remap_plans,
+    pallas_remap_apply,
+    pallas_remap_apply_batched,
+    pallas_remap_plan,
+)
 from ..ops.remap import pack_rgb, remap_apply_packed, remap_plan
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..template.compiler import MapperTemplate
@@ -32,6 +44,7 @@ from .blenders import (
     multiband_blend,
 )
 from .gain import build_gain_plan, solve_gains
+from .gain_blocks import build_blocks_gain_plan, solve_block_gains
 
 WORKING_MEGAPIX = 0.1  # mapper.cpp:43
 
@@ -62,14 +75,17 @@ class StitchPlan:
     inputs: List[_InputPlan] = field(default_factory=list)
     overlays: List[_InputPlan] = field(default_factory=list)
     gain: object = None
+    gain_blocks: object = None
     blender: object = None
     blend_kind: str = "none"  # "multiband" | "feather" | "none"
+    batched_remap: object = None  # BatchedRemapPlan when all sizes equal
+    working_scale: float = 1.0
 
 
 register_plan(
     StitchPlan,
-    children=("inputs", "overlays", "gain", "blender"),
-    static=("canvas_size", "out_size", "blend_kind"),
+    children=("inputs", "overlays", "gain", "gain_blocks", "blender", "batched_remap"),
+    static=("canvas_size", "out_size", "blend_kind", "working_scale"),
 )
 
 
@@ -81,7 +97,9 @@ def _nearest_indices(n_out, n_in):
 
 class Mapper:
     """blend: >0 multiband blend width, 0 none, <0 feather border
-    (mapper.hpp:69-71)."""
+    (mapper.hpp:69-71).  enable_gain: False, True (global pairwise
+    gains), or "blocks" (BlocksGainCompensator-style per-block gain
+    maps)."""
 
     def __init__(
         self,
@@ -91,9 +109,16 @@ class Mapper:
         enable_gain: bool = True,
         scale_output=None,
         use_pallas: bool = True,
+        frame_format: str = "yuv420p",
     ):
+        assert frame_format in ("yuv420p", "nv12")
+        self.frame_format = frame_format
         n = len(mt.inputs)
         self.use_pallas = use_pallas and jax.default_backend() == "tpu"
+        # equal-size inputs share ONE pallas kernel (one Mosaic compile)
+        self._batch_remap = (
+            self.use_pallas and len(set(map(tuple, in_sizes))) == 1
+        )
         if n == 1:
             blend = 0
             enable_gain = False
@@ -111,10 +136,12 @@ class Mapper:
             is_overlay = idx >= n
             in_h, in_w = in_sizes[idx]
             rx, ry, rw, rh = inp.roi
-            if self.use_pallas:
+            if self.use_pallas and not self._batch_remap:
                 rp = pallas_remap_plan(inp.map1, inp.map2, in_h, in_w)
-            else:
+            elif not self.use_pallas:
                 rp = remap_plan(inp.map1, inp.map2, in_h, in_w)
+            else:
+                rp = None  # served by the batched kernel
 
             wrp = None
             wroi = None
@@ -153,8 +180,24 @@ class Mapper:
             )
             (plan.overlays if is_overlay else plan.inputs).append(ip)
 
-        if enable_gain:
+        if enable_gain == "blocks":
+            plan.gain = build_gain_plan(work_masks, work_rois)  # for sums
+            ws_w = int(W * working_scale)
+            ws_h = int(H * working_scale)
+            plan.gain_blocks = build_blocks_gain_plan(
+                work_masks, work_rois, (ws_w, ws_h)
+            )
+        elif enable_gain:
             plan.gain = build_gain_plan(work_masks, work_rois)
+        plan.working_scale = working_scale
+
+        if self._batch_remap:
+            all_inputs = mt.inputs + mt.overlay_inputs
+            plan.batched_remap = merge_remap_plans(
+                [(inp.map1, inp.map2) for inp in all_inputs],
+                in_sizes[0][0],
+                in_sizes[0][1],
+            )
 
         rois = [inp.roi for inp in mt.inputs]
         if blend > 0:
@@ -188,26 +231,45 @@ class Mapper:
     def _forward(self, plan, yuv_inputs, ext_gains):
         W, H = plan.canvas_size
 
-        warped, work_norms = [], []
+        to_rgb = nv12_to_rgb if self.frame_format == "nv12" else yuv420p_to_rgb
+        warped, work_norms, packed_all = [], [], []
         for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
-            rgb = yuv420p_to_rgb(buf)  # [H, W, 3] f32
+            rgb = to_rgb(buf)  # [H, W, 3] f32
             rgb = jnp.moveaxis(rgb, -1, 0)  # [3, H, W]
             if ip.vignette is not None:
                 rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
             packed = pack_rgb(rgb)
-            if self.use_pallas:
-                packed2d = packed.reshape(rgb.shape[1], rgb.shape[2])
-                warped.append(pallas_remap_apply(packed2d, ip.remap))
-            else:
-                warped.append(remap_apply_packed(packed, ip.remap))
+            packed_all.append(packed.reshape(rgb.shape[1], rgb.shape[2]))
+            if plan.batched_remap is None:
+                if self.use_pallas:
+                    warped.append(pallas_remap_apply(packed_all[-1], ip.remap))
+                else:
+                    warped.append(remap_apply_packed(packed, ip.remap))
             if ip.work_remap is not None and plan.gain is not None:
                 wimg = remap_apply_packed(packed, ip.work_remap)
                 work_norms.append(
                     jnp.sqrt(jnp.sum(wimg * wimg, axis=0))
                 )
+        if plan.batched_remap is not None:
+            warped = list(
+                pallas_remap_apply_batched(
+                    jnp.stack(packed_all), plan.batched_remap
+                )
+            )
 
         gains = None
-        if plan.gain is not None:
+        if plan.gain_blocks is not None:
+            gmaps = solve_block_gains(
+                plan.gain_blocks,
+                work_norms,
+                out_rois=[ip.roi for ip in plan.inputs],
+                scale=plan.working_scale,
+            )
+            warped = [
+                w * gmaps[i][None] if i < self.num_inputs else w
+                for i, w in enumerate(warped)
+            ]
+        elif plan.gain is not None:
             if ext_gains is None:
                 gains = solve_gains(plan.gain, work_norms)
             else:
@@ -245,7 +307,10 @@ class Mapper:
         if plan.out_size != plan.canvas_size:
             ow, oh = plan.out_size
             rgb_out = resize_bilinear(rgb_out, oh, ow, xp=jnp)
-        out = rgb_to_yuv420p(rgb_out)
+        if self.frame_format == "nv12":
+            out = rgb_to_nv12(rgb_out)
+        else:
+            out = rgb_to_yuv420p(rgb_out)
         if gains is None:
             gains = jnp.ones((self.num_inputs,), dtype=jnp.float32)
         return out, gains
@@ -263,3 +328,24 @@ class Mapper:
         return self._stitch_gains(
             self._plan_dev, bufs, jnp.asarray(gains, dtype=jnp.float32)
         )
+
+
+class FastMapper(Mapper):
+    """The mobile/OpenCL profile of the reference (vr::FastMapper,
+    mapper_fast.cpp): NV12 frames in and out, feather-only blending, no
+    exposure compensation, full-frame ROIs.  Same template format."""
+
+    def __init__(self, mt, in_sizes, border: int = 8, **kw):
+        kw.setdefault("use_pallas", True)
+        super().__init__(
+            mt,
+            in_sizes,
+            blend=-abs(border),
+            enable_gain=False,
+            frame_format="nv12",
+            **kw,
+        )
+
+    def stitch_nv12(self, nv12_inputs):
+        out, _ = self.stitch(nv12_inputs)
+        return out

@@ -112,3 +112,69 @@ def bfs_seam_find(masks, corners):
                 sub_bits[peel] &= ~(1 << i)
                 changed = True
     return masks
+
+
+def voronoi_seam_find(masks, corners):
+    """Voronoi partition of the overlaps: each pixel goes to the mask with
+    the greatest interior distance (the VoronoiSeamFinder role — identical
+    machinery to the distance finder with max_n=1)."""
+    return distance_seam_find(masks, corners, max_n=1)
+
+
+def dp_seam_find(images, masks, corners):
+    """Pairwise dynamic-programming seam (DpSeamFinder COLOR cost): for
+    every overlapping pair, carve the min color-difference path through
+    the overlap and split the masks along it.  Offline/CPU."""
+    masks = [np.array(m, dtype=np.uint8, copy=True) for m in masks]
+    n = len(masks)
+    for i in range(n):
+        for j in range(i + 1, n):
+            xi, yi = corners[i]
+            xj, yj = corners[j]
+            hi, wi = masks[i].shape
+            hj, wj = masks[j].shape
+            ox0, oy0 = max(xi, xj), max(yi, yj)
+            ox1 = min(xi + wi, xj + wj)
+            oy1 = min(yi + hi, yj + hj)
+            if ox1 <= ox0 or oy1 <= oy0:
+                continue
+            si = (slice(oy0 - yi, oy1 - yi), slice(ox0 - xi, ox1 - xi))
+            sj = (slice(oy0 - yj, oy1 - yj), slice(ox0 - xj, ox1 - xj))
+            m1, m2 = masks[i][si], masks[j][sj]
+            both = (m1 > 0) & (m2 > 0)
+            if not both.any():
+                continue
+            a = np.asarray(images[i])[si].astype(np.float64)
+            b = np.asarray(images[j])[sj].astype(np.float64)
+            cost = np.sqrt(((a - b) ** 2).sum(-1) if a.ndim == 3 else (a - b) ** 2)
+            cost = np.where(both, cost, 1e6)
+            oh, ow = cost.shape
+            # vertical seam (transpose if the overlap is wide and short)
+            transposed = ow > oh * 2
+            if transposed:
+                cost = cost.T
+                oh, ow = ow, oh
+            acc = cost.copy()
+            for r in range(1, oh):
+                prev = acc[r - 1]
+                left = np.concatenate([[np.inf], prev[:-1]])
+                right = np.concatenate([prev[1:], [np.inf]])
+                acc[r] += np.minimum(prev, np.minimum(left, right))
+            seam = np.empty(oh, dtype=np.int64)
+            seam[-1] = int(np.argmin(acc[-1]))
+            for r in range(oh - 2, -1, -1):
+                c = seam[r + 1]
+                lo, hi2 = max(0, c - 1), min(ow, c + 2)
+                seam[r] = lo + int(np.argmin(acc[r, lo:hi2]))
+            cols = np.arange(ow)[None, :]
+            keep_first = cols <= seam[:, None]
+            if transposed:
+                keep_first = keep_first.T
+            # decide which side belongs to which image: image i keeps the
+            # side nearer its exclusive region
+            left_i = xi <= xj if not transposed else yi <= yj
+            if not left_i:
+                keep_first = ~keep_first
+            m1[both & ~keep_first] = 0
+            m2[both & keep_first] = 0
+    return masks

@@ -165,3 +165,49 @@ def test_six_cam_multiband():
     assert err.mean() < 6.0, f"mean err {err.mean()}"
     # equal-exposure world -> gains ~ 1
     np.testing.assert_allclose(np.asarray(gains), 1.0, atol=0.05)
+
+
+def test_blocks_gain_compensation(two_cam_setup):
+    """BlocksGainCompensator-style per-block gain maps equalize a
+    spatially-varying exposure difference."""
+    rig, mt, sizes = two_cam_setup
+    mapper = Mapper(mt, sizes, blend=-8, enable_gain="blocks")
+    frames = render_camera_frames(rig, exposure_gains=[1.0, 0.7])
+    out, _ = mapper.stitch(frames)
+    got = rgb_from_yuv_buf(np.asarray(out))
+
+    mapper_off = Mapper(mt, sizes, blend=-8, enable_gain=False)
+    out_off, _ = mapper_off.stitch(frames)
+    got_off = rgb_from_yuv_buf(np.asarray(out_off))
+
+    def region_ratio(img):
+        cam0 = img[64:192, 224:288].mean()
+        cam1 = img[64:192, :32].mean()
+        return cam0 / cam1
+
+    truth_ratio = region_ratio(ground_truth(*mt.out_size))
+    assert abs(region_ratio(got) - truth_ratio) < abs(
+        region_ratio(got_off) - truth_ratio
+    )
+
+
+def test_fast_mapper_nv12(two_cam_setup):
+    """FastMapper profile: NV12 in/out, feather blend (mapper_fast.cpp)."""
+    from octvr_tpu.ops.color import (
+        merge_nv12,
+        nv12_to_rgb,
+        split_yuv420p,
+    )
+    from octvr_tpu.stitch import FastMapper
+
+    rig, mt, sizes = two_cam_setup
+    fm = FastMapper(mt, sizes, border=8)
+    frames = render_camera_frames(rig)
+    nv12 = [
+        np.asarray(merge_nv12(*split_yuv420p(jnp.asarray(f)))) for f in frames
+    ]
+    out = fm.stitch_nv12(nv12)
+    got = np.asarray(nv12_to_rgb(jnp.asarray(np.asarray(out))))
+    truth = ground_truth(*mt.out_size)
+    err = np.abs(got[8:-8] - truth[8:-8])
+    assert err.mean() < 3.5, f"mean err {err.mean()}"
