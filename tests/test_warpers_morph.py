@@ -159,3 +159,26 @@ def test_async_pipeline_runs():
     assert len(outs) == 3
     assert outs[0][0].shape == (96, 128)
     assert outs[0][1].shape == (96, 128)
+
+
+def test_stitcher_facade_end_to_end():
+    import sys
+
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from test_registration import render_view, yaw_cameras
+
+    from octvr_tpu.stitcher_facade import Stitcher
+
+    imgs = [
+        render_view(R, 380.0, 400, 300).astype(np.uint8)
+        for R in yaw_cameras(5, 30.0)
+    ]
+    res = Stitcher(conf_thresh=0.5, blend=8).stitch(
+        imgs, out_width=512, use_device=False
+    )
+    assert res.panorama.shape == (256, 512, 3)
+    assert len(res.indices) == 5
+    assert res.rms < 2.0
+    covered = (res.panorama.sum(-1) > 0).mean()
+    assert 0.2 < covered < 0.6  # equatorial band for a yaw ring
