@@ -181,4 +181,5 @@ def test_stitcher_facade_end_to_end():
     assert len(res.indices) == 5
     assert res.rms < 2.0
     covered = (res.panorama.sum(-1) > 0).mean()
-    assert 0.2 < covered < 0.6  # equatorial band for a yaw ring
+    # 5 cameras x 30deg steps ~ 173deg of longitude, +-21deg latitude
+    assert 0.05 < covered < 0.4, covered
