@@ -14,6 +14,8 @@ buffer; Y is the top HxW, U is rows [H, H*3/2) cols [0, W/2), V is rows
 import jax.numpy as jnp
 
 __all__ = [
+    "yuv420p_to_rgb_planar",
+    "rgb_planar_to_yuv420p",
     "split_yuv420p",
     "merge_yuv420p",
     "yuv420p_to_rgb",
@@ -43,8 +45,10 @@ def _upsample2(c):
     return jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1)
 
 
-def yuv420p_to_rgb(buf, dtype=jnp.float32):
-    """Packed YUV420P uint8 -> RGB float [H, W, 3] in [0, 255]."""
+def yuv420p_to_rgb_planar(buf, dtype=jnp.float32):
+    """Packed YUV420P uint8 -> planar RGB float [3, H, W] in [0, 255].
+    Planar-native: no [H, W, 3] intermediate (a 3-lane minor axis forces
+    slow relayouts on TPU)."""
     y, u, v = split_yuv420p(buf)
     yf = y.astype(dtype)
     uf = _upsample2(u).astype(dtype) - 128.0
@@ -52,7 +56,30 @@ def yuv420p_to_rgb(buf, dtype=jnp.float32):
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf
-    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+    return jnp.clip(jnp.stack([r, g, b], axis=0), 0.0, 255.0)
+
+
+def yuv420p_to_rgb(buf, dtype=jnp.float32):
+    """Packed YUV420P uint8 -> RGB float [H, W, 3] in [0, 255]."""
+    return jnp.moveaxis(yuv420p_to_rgb_planar(buf, dtype), 0, -1)
+
+
+def rgb_planar_to_yuv420p(rgb):
+    """Planar RGB float [3, H, W] in [0,255] -> packed YUV420P uint8
+    [H*3/2, W].  Chroma box-averaged 2x2 before subsampling."""
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h, w = y.shape
+
+    def sub(c):
+        return c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    yq = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+    uq = jnp.clip(jnp.round(sub(u)), 0, 255).astype(jnp.uint8)
+    vq = jnp.clip(jnp.round(sub(v)), 0, 255).astype(jnp.uint8)
+    return merge_yuv420p(yq, uq, vq)
 
 
 def rgb_to_yuv420p(rgb):

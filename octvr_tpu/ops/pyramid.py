@@ -75,3 +75,53 @@ def laplacian_merge(dst_pyr):
     for i in range(len(dst_pyr) - 2, -1, -1):
         acc = pyr_up(acc) + dst_pyr[i]
     return acc
+
+
+# ------------------------------------------------------------- MXU path
+#
+# XLA depthwise convs reach only ~10 GB/s effective on TPU for the 5-tap
+# pyramid filters; expressing the separable filter as two *dense banded
+# matmuls* puts the work on the MXU instead (~10x faster at 4K).  The
+# banded matrices are built once per distinct axis length at plan time.
+
+
+def down_matrix(n: int) -> np.ndarray:
+    """[n//2, n]: rows are the 5-tap kernel at stride 2 with reflect-101
+    boundary folding (matches pyr_down exactly)."""
+    K = np.zeros((n // 2, n), dtype=np.float32)
+    w = np.array([1, 4, 6, 4, 1], dtype=np.float32) / 16.0
+    for i in range(n // 2):
+        for k in range(5):
+            j = 2 * i + k - 2
+            if j < 0:
+                j = -j
+            if j >= n:
+                j = 2 * (n - 1) - j
+            K[i, j] += w[k]
+    return K
+
+
+def up_matrix(n: int) -> np.ndarray:
+    """[2n, n]: zero-stuffed upsample + 5-tap (x2 gain), zero boundary
+    (matches pyr_up exactly)."""
+    K = np.zeros((2 * n, n), dtype=np.float32)
+    w = np.array([1, 4, 6, 4, 1], dtype=np.float32) * 2.0 / 16.0
+    for o in range(2 * n):
+        for k in range(5):
+            j = o + k - 2
+            if 0 <= j < 2 * n and j % 2 == 0:
+                K[o, j // 2] += w[k]
+    return K
+
+
+def pyr_down_mm(x, kv, kh):
+    """[C, H, W] -> [C, H/2, W/2] via two MXU matmuls.
+    kv: [H/2, H], kh: [W/2, W]."""
+    v = jnp.einsum("oh,chw->cow", kv, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,cow->cop", kh, v, preferred_element_type=jnp.float32)
+
+
+def pyr_up_mm(x, kv, kh):
+    """[C, h, w] -> [C, 2h, 2w].  kv: [2h, h], kh: [2w, w]."""
+    v = jnp.einsum("oh,chw->cow", kv, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,cow->cop", kh, v, preferred_element_type=jnp.float32)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.color import yuv420p_to_rgb
+from ..ops.color import yuv420p_to_rgb_planar
 from ..ops.pyramid import pyr_down, pyr_up
 from ..ops.remap import remap_plan
 from ..ops.resize import resize_bilinear
@@ -312,7 +312,7 @@ def _stitch_band(plan: ShardedPlan, frames):
 
     packed = []
     for i in range(ncam):
-        rgb = jnp.moveaxis(yuv420p_to_rgb(frames[i]), -1, 0)
+        rgb = yuv420p_to_rgb_planar(frames[i])
         rgb = jnp.clip(rgb * plan.vignette[i][None], 0.0, 255.0)
         q = jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.int32)
         packed.append((q[0] | (q[1] << 8) | (q[2] << 16)).reshape(-1))

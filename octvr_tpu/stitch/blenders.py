@@ -15,7 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import correlate1d, distance_transform_edt
 
-from ..ops.pyramid import pyr_down, pyr_up
+from ..ops.pyramid import (
+    down_matrix,
+    pyr_down,
+    pyr_down_mm,
+    pyr_up,
+    pyr_up_mm,
+    up_matrix,
+)
 from ..utils.pytree import register_plan
 
 _K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
@@ -106,11 +113,14 @@ class MultiBandPlan:
     align_result_roi: tuple
     weight_pyrs: List[List[np.ndarray]]  # per image, per level f32
     band_weights: List[np.ndarray]  # per level f32 (canvas-aligned size)
+    # banded pyramid matrices per axis length (MXU path): {n: [n/2, n]}
+    down_mats: dict = field(default_factory=dict)
+    up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
 
 
 register_plan(
     MultiBandPlan,
-    children=("weight_pyrs", "band_weights"),
+    children=("weight_pyrs", "band_weights", "down_mats", "up_mats"),
     static=("num_bands", "rois", "align_rois", "align_result_roi"),
 )
 
@@ -170,6 +180,18 @@ def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> Multi
                 oy : oy + (ah >> i), ox : ox + (aw >> i)
             ] += pyr[i]
 
+    # banded matrices for every axis length the blend touches
+    down_mats, up_mats = {}, {}
+    lengths = set()
+    for (ax, ay, aw, ah) in align_rois + [align_result_roi]:
+        for l in range(num_bands + 1):
+            lengths.add(aw >> l)
+            lengths.add(ah >> l)
+    for nl in lengths:
+        if nl >= 2:
+            down_mats[nl] = down_matrix(nl)
+            up_mats[nl >> 1] = up_matrix(nl >> 1)
+
     return MultiBandPlan(
         num_bands=num_bands,
         rois=list(rois),
@@ -177,6 +199,8 @@ def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> Multi
         align_result_roi=align_result_roi,
         weight_pyrs=weight_pyrs,
         band_weights=band_weights,
+        down_mats=down_mats,
+        up_mats=up_mats,
     )
 
 
@@ -193,6 +217,20 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
         jnp.zeros((c, arh >> i, arw >> i), dtype=dtype) for i in range(B + 1)
     ]
 
+    def down(z):
+        _, hh, ww = z.shape
+        if hh in plan.down_mats and ww in plan.down_mats:
+            return pyr_down_mm(
+                z, plan.down_mats[hh], plan.down_mats[ww]
+            )
+        return pyr_down(z)
+
+    def up(z):
+        _, hh, ww = z.shape
+        if hh in plan.up_mats and ww in plan.up_mats:
+            return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww])
+        return pyr_up(z)
+
     for img, roi, aroi, wpyr in zip(imgs, plan.rois, plan.align_rois, plan.weight_pyrs):
         x, y, w, h = roi
         ax, ay, aw, ah = aroi
@@ -200,10 +238,10 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
         src0 = src0.at[:, y - ay : y - ay + h, x - ax : x - ax + w].set(img)
         gauss = [src0]
         for _ in range(B):
-            gauss.append(pyr_down(gauss[-1]))
+            gauss.append(down(gauss[-1]))
         for i in range(B + 1):
             if i < B:
-                lap = gauss[i] - pyr_up(gauss[i + 1])
+                lap = gauss[i] - up(gauss[i + 1])
             else:
                 lap = gauss[B]
             contrib = lap * jnp.asarray(wpyr[i])[None]
@@ -217,7 +255,7 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
 
     acc = dst_pyr[B]
     for i in range(B - 1, -1, -1):
-        acc = pyr_up(acc) + dst_pyr[i]
+        acc = up(acc) + dst_pyr[i]
 
     w, h = canvas_size
     canvas = jnp.zeros((c, h, w), dtype=dtype)

@@ -20,12 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.color import (
+    merge_nv12,
     merge_yuv420p,
-    nv12_to_rgb,
-    rgb_to_nv12,
-    rgb_to_yuv420p,
+    rgb_planar_to_yuv420p,
     split_nv12,
-    yuv420p_to_rgb,
+    split_yuv420p,
+    yuv420p_to_rgb_planar,
 )
 from ..ops.pallas_remap import (
     merge_remap_plans,
@@ -231,11 +231,14 @@ class Mapper:
     def _forward(self, plan, yuv_inputs, ext_gains):
         W, H = plan.canvas_size
 
-        to_rgb = nv12_to_rgb if self.frame_format == "nv12" else yuv420p_to_rgb
+        def to_rgb(buf):
+            if self.frame_format == "nv12":
+                buf = merge_yuv420p(*split_nv12(buf))
+            return yuv420p_to_rgb_planar(buf)
+
         warped, work_norms, packed_all = [], [], []
         for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
-            rgb = to_rgb(buf)  # [H, W, 3] f32
-            rgb = jnp.moveaxis(rgb, -1, 0)  # [3, H, W]
+            rgb = to_rgb(buf)  # [3, H, W] f32 planar
             if ip.vignette is not None:
                 rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
             packed = pack_rgb(rgb)
@@ -303,14 +306,17 @@ class Mapper:
             )
 
         canvas = jnp.clip(canvas, 0.0, 255.0)
-        rgb_out = jnp.moveaxis(canvas, 0, -1)  # [H, W, 3]
         if plan.out_size != plan.canvas_size:
             ow, oh = plan.out_size
-            rgb_out = resize_bilinear(rgb_out, oh, ow, xp=jnp)
+            canvas = jnp.stack(
+                [
+                    resize_bilinear(canvas[c], oh, ow, xp=jnp)
+                    for c in range(3)
+                ]
+            )
+        out = rgb_planar_to_yuv420p(canvas)
         if self.frame_format == "nv12":
-            out = rgb_to_nv12(rgb_out)
-        else:
-            out = rgb_to_yuv420p(rgb_out)
+            out = merge_nv12(*split_yuv420p(out))
         if gains is None:
             gains = jnp.ones((self.num_inputs,), dtype=jnp.float32)
         return out, gains

@@ -255,3 +255,47 @@ def test_full_loop_ring_to_panorama():
         err = np.abs(rolled.astype(float) - truth)[rc].mean()
         best = min(best, err)
     assert best < 20.0, f"best aligned err {best}"
+
+
+def test_jax_bundle_adjust_matches_numpy(synthetic_ring):
+    """Analytic-Jacobian (jacfwd) BA agrees with the f64 numeric path."""
+    images, Rs_true, f_true, (w, h) = synthetic_ring
+    from octvr_tpu.registration.bundle_jax import bundle_adjust_ray_jax
+
+    res = register_images(images, ba=None, wave_kind=None, conf_thresh=0.5)
+    import copy
+
+    cams_np, rms_np = bundle_adjust_ray(
+        res.features, res.matches, copy.deepcopy(res.cameras), 0.5
+    )
+    cams_jx, rms_jx = bundle_adjust_ray_jax(
+        res.features, res.matches, copy.deepcopy(res.cameras), 0.5
+    )
+    f_np = np.array([c.focal for c in cams_np])
+    f_jx = np.array([c.focal for c in cams_jx])
+    np.testing.assert_allclose(f_jx, f_np, rtol=0.02)  # f32 vs f64 LM
+    assert rms_jx < rms_np * 1.5 + 0.1
+
+
+def test_sharded_bundle_adjust(synthetic_ring):
+    """The match-sharded psum reduction gives the same solution on an
+    8-device mesh (SURVEY §2.5: distributed BA reduction)."""
+    import jax
+    from jax.sharding import Mesh
+
+    images, Rs_true, f_true, (w, h) = synthetic_ring
+    from octvr_tpu.registration.bundle_jax import bundle_adjust_ray_jax
+    import copy
+
+    res = register_images(images, ba=None, wave_kind=None, conf_thresh=0.5)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), axis_names=("data",))
+    cams_sh, rms_sh = bundle_adjust_ray_jax(
+        res.features, res.matches, copy.deepcopy(res.cameras), 0.5, mesh=mesh
+    )
+    cams_1, rms_1 = bundle_adjust_ray_jax(
+        res.features, res.matches, copy.deepcopy(res.cameras), 0.5
+    )
+    f_sh = np.array([c.focal for c in cams_sh])
+    f_1 = np.array([c.focal for c in cams_1])
+    np.testing.assert_allclose(f_sh, f_1, rtol=0.01)
+    assert abs(rms_sh - rms_1) < 0.1
