@@ -70,7 +70,19 @@ def six_cam_rig():
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the first 4K compile costs ~10 min
+    # through the remote Mosaic helper; cache it next to the repo
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
     from octvr_tpu.stitch import Mapper
     from octvr_tpu.template import compile_rig
