@@ -183,3 +183,64 @@ def test_stitcher_facade_end_to_end():
     covered = (res.panorama.sum(-1) > 0).mean()
     # 5 cameras x 30deg steps ~ 173deg of longitude, +-21deg latitude
     assert 0.05 < covered < 0.4, covered
+
+
+def test_projection_presets_stereo_layout():
+    """Config: stereo cylinder-slice + polar caps layout (the OwlLive
+    projection preset, projection_modes.cpp) composes into one frame."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import sys
+
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from rigs import two_fisheye_rig
+    from test_stitch import render_camera_frames
+
+    from octvr_tpu.ops.color import yuv420p_to_rgb
+    from octvr_tpu.presets import RegionComposer, build_region_outputs
+    from octvr_tpu.stitch import Mapper
+    from octvr_tpu.template import compile_rig
+    import jax.numpy as jnp
+
+    (W, H), outs = build_region_outputs("cylinder_slice_2x25_3dv", 576)
+    assert (W, H) == (576, 256)
+    assert len(outs) == 6
+    # gain sharing: first gain region per eye owns, others copy
+    assert outs[0]["gain_mode"] == 0 and outs[3]["gain_mode"] == 3
+
+    rig = two_fisheye_rig()
+    for spec in rig["inputs"]:
+        spec["options"]["width"] = 256
+        spec["options"]["height"] = 256
+    frames = render_camera_frames(rig)
+
+    region_frames = []
+    for o in outs[:3]:  # one eye is enough for the layout test
+        x, y, rw, rh = o["rect"]
+        r = dict(rig)
+        r["output"] = o["output"]
+        mt = compile_rig(r, rw, rh)
+        mt.create_masks()
+        m = Mapper(
+            mt,
+            [(256, 256)] * 2,
+            blend=-4 if o["blend"] else 0,
+            enable_gain=False,
+        )
+        out, _ = m.stitch(frames)
+        region_frames.append(
+            np.clip(
+                np.asarray(yuv420p_to_rgb(jnp.asarray(np.asarray(out)))),
+                0,
+                255,
+            ).astype(np.uint8)
+        )
+    comp = RegionComposer((W, H), [o["rect"] for o in outs[:3]])
+    canvas = comp.compose(region_frames)
+    assert canvas.shape == (256, 576, 3)
+    # all three regions carry content
+    assert canvas[:128, :512].mean() > 10  # cylinder slice
+    assert canvas[:64, 512:].mean() > 10  # north cap
+    assert canvas[64:128, 512:].mean() > 10  # south cap
