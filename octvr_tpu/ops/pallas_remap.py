@@ -11,13 +11,18 @@ Design (maps are static per template):
   not supported by this Mosaic build, but scalar-driven index_maps are —
   and Pallas auto-pipelines and de-duplicates consecutive block
   fetches).  KH/KW are sized from the template's measured spans.
-* Bilinear interpolation runs as a *row fan*: loop over the window rows
-  the tile actually uses (dynamic bounds, typically ~16 rows); for each
-  window row, per-lane values are pulled with take_along_axis on
-  (8, 128) tiles (the one gather shape Mosaic supports) and merged into
-  the two y-tap accumulators with vector compares.
+* Bilinear interpolation runs as a *row fan*, split per window column
+  block and per vertical half: for each (block b, half h) the loop
+  visits only the window rows that block actually needs (per-tile
+  scalar-prefetched [lo, hi) ranges).  Each visited row is broadcast to
+  (8, 128) and both horizontal taps are pulled with take_along_axis on
+  the lane axis (the one gather shape Mosaic supports).  All four
+  bilinear weights are folded into a single per-row weight
+  ``wk*a0 / wk*a1`` (lane-block masks a0/a1 are hoisted out of the
+  loop), so there is ONE accumulator set and no final lerp.
 * Input pixels are packed RGB int32 (ops.remap.pack_rgb); channels
-  unpack after the horizontal taps.
+  unpack after the horizontal taps (top byte is zero, so blue is a bare
+  shift).
 * Pixels whose window would exceed the 2x2 block group (extreme
   minification tiles) are zero-weighted in-kernel and patched by a tiny
   sparse XLA-gather residual pass.
@@ -51,9 +56,9 @@ class PallasRemapPlan:
     by: object  # window row-block index
     bx: object  # window col-block index
     by2: object  # clamped by+1
-    bx2: object  # clamped bx+1
-    row_lo: object  # first window row used
-    row_hi: object  # one past last window row used
+    # per-(tile, col-block, half) row ranges [nt, 4*nb] i32 (abs window rows)
+    lob: object
+    hib: object
     # per-pixel tile-major arrays [nt, 8, 128]
     oy0: object  # window-relative row of the y0 tap, [0, 2*KH)
     oy1: object
@@ -74,9 +79,8 @@ register_plan(
         "by",
         "bx",
         "by2",
-        "bx2",
-        "row_lo",
-        "row_hi",
+        "lob",
+        "hib",
         "oy0",
         "oy1",
         "ox0",
@@ -176,7 +180,6 @@ def pallas_remap_plan(
     by2 = np.minimum(by + 1, nby - 1).astype(np.int32)
     # bx in units of TW; the window spans 2*nb column blocks
     bx = np.clip(xmin // TW, 0, nbx_tw - 2 * nb).astype(np.int32)
-    bx2 = bx  # unused (kept for the plan layout)
 
     oy0 = (tileize(yi0) - by[:, None, None] * KH).astype(np.int64)
     oy1 = (tileize(yi1) - by[:, None, None] * KH).astype(np.int64)
@@ -193,18 +196,32 @@ def pallas_remap_plan(
     covered = in_win & ~t_invalid
     valid = covered.astype(np.float32)
 
-    row_lo = np.where(covered, oy0, big).reshape(nt, -1).min(axis=1)
-    row_hi = np.where(covered, oy1, -big).reshape(nt, -1).max(axis=1) + 1
-    none_cov = ~covered.reshape(nt, -1).any(axis=1)
-    row_lo[none_cov] = 0
-    row_hi[none_cov] = 0
-    row_lo = np.clip(row_lo, 0, 2 * KH).astype(np.int32)
-    row_hi = np.clip(row_hi, 0, 2 * KH).astype(np.int32)
-
     oy0c = np.clip(oy0, 0, 2 * KH - 1).astype(np.int32)
     oy1c = np.clip(oy1, 0, 2 * KH - 1).astype(np.int32)
     ox0c = np.clip(ox0, 0, 2 * KW - 1).astype(np.int32)
     ox1c = np.clip(ox1, 0, 2 * KW - 1).astype(np.int32)
+
+    # per-(col-block, half) window-row ranges: block b only loops over
+    # the rows its own taps touch (arcs cross blocks, so this is much
+    # tighter than one whole-window fan per tile)
+    b0p = ox0c >> 7
+    b1p = ox1c >> 7
+    lob = np.zeros((nt, 4 * nb), dtype=np.int32)
+    hib = np.zeros((nt, 4 * nb), dtype=np.int32)
+    for b in range(2 * nb):
+        m = covered & ((b0p == b) | (b1p == b))
+        anym = m.reshape(nt, -1).any(axis=1)
+        rmin = np.where(m, oy0c, big).reshape(nt, -1).min(axis=1)
+        rmax = np.where(m, oy1c, -big).reshape(nt, -1).max(axis=1) + 1
+        for h in range(2):
+            base, top = h * KH, (h + 1) * KH
+            lo = np.clip(rmin, base, top)
+            hi = np.clip(rmax, base, top)
+            empty = (~anym) | (hi <= lo)
+            lo[empty] = base
+            hi[empty] = base
+            lob[:, 2 * b + h] = lo
+            hib[:, 2 * b + h] = hi
 
     # ---- residual pixels
     resid = (~in_win) & ~t_invalid
@@ -253,9 +270,8 @@ def pallas_remap_plan(
         by = padt(by)
         by2 = padt(by2)
         bx = padt(bx)
-        bx2 = padt(bx2)
-        row_lo = padt(row_lo)
-        row_hi = padt(row_hi)  # rows 0..0 -> empty loop for pad tiles
+        lob = padt(lob)
+        hib = padt(hib)  # lo == hi == 0 -> empty loops for pad tiles
         oy0c = padt(oy0c)
         oy1c = padt(oy1c)
         ox0c = padt(ox0c)
@@ -278,9 +294,8 @@ def pallas_remap_plan(
         by=by,
         bx=bx,
         by2=by2,
-        bx2=bx2,
-        row_lo=row_lo,
-        row_hi=row_hi,
+        lob=lob,
+        hib=hib,
         oy0=oy0c,
         oy1=oy1c,
         ox0=ox0c,
@@ -300,17 +315,21 @@ def _kernel(KH, KW, nb, batched=False):
     lane-offset slicing, so every column block is its own ref.  In
     batched mode the refs carry a leading image axis selected per tile
     by a scalar-prefetched image index (all inputs share ONE kernel —
-    one Mosaic compile per template instead of one per input)."""
+    one Mosaic compile per template instead of one per input).
+
+    Loop structure: one short fori_loop per (column block, vertical
+    half) with per-tile scalar row bounds; all four bilinear tap
+    weights fold into one per-row weight, so each visited row costs two
+    lane gathers and one accumulate."""
 
     def kern(*args):
-        ns = 7 if batched else 6
+        ns = 6 if batched else 5
         if batched:
-            (img_s, by_s, bx_s, by2_s, bx2_s, lo_s, hi_s) = args[:7]
+            (img_s, by_s, bx_s, by2_s, lob_s, hib_s) = args[:6]
         else:
-            (by_s, bx_s, by2_s, bx2_s, lo_s, hi_s) = args[:6]
+            (by_s, bx_s, by2_s, lob_s, hib_s) = args[:5]
         (oy0, oy1, ox0, ox1, fx, fy, valid) = args[ns : ns + 7]
-        wins_top = args[ns + 7 : ns + 7 + 2 * nb]
-        wins_bot = args[ns + 7 + 2 * nb : ns + 7 + 4 * nb]
+        wins = args[ns + 7 : ns + 7 + 4 * nb]  # half0 blocks, then half1
         out_r, out_g, out_b = args[ns + 7 + 4 * nb : ns + 10 + 4 * nb]
 
         t = pl.program_id(0)
@@ -325,66 +344,56 @@ def _kernel(KH, KW, nb, batched=False):
         l0 = ox0v & 127
         b1 = ox1v >> 7
         l1 = ox1v & 127
+        zero = jnp.zeros((TH, TW), dtype=jnp.float32)
+        wy0 = 1.0 - fyv
+        wy1 = fyv
 
-        def unpack(v):
-            return (
-                (v & 0xFF).astype(jnp.float32),
-                ((v >> 8) & 0xFF).astype(jnp.float32),
-                ((v >> 16) & 0xFF).astype(jnp.float32),
-            )
+        accs = (zero, zero, zero)
+        for b in range(2 * nb):
+            # lane-block masks hoisted out of the row loop
+            a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
+            a1 = jnp.where(b1 == b, fxv, 0.0)
+            for h in range(2):
+                win = wins[h * 2 * nb + b]
+                base = h * KH
 
-        def body(k, accs):
-            a0r, a0g, a0b, a1r, a1g, a1b = accs
-            top = k < KH
-            kt = jnp.minimum(k, KH - 1)
-            kb = jnp.maximum(k - KH, 0)
+                def body(krel, accs, win=win, base=base, a0=a0, a1=a1):
+                    ar, ag, ab = accs
+                    if batched:
+                        rowv = win[0, pl.ds(krel, 1), :]
+                    else:
+                        rowv = win[pl.ds(krel, 1), :]
+                    rep = jnp.broadcast_to(rowv, (TH, TW))
+                    s0 = jnp.take_along_axis(rep, l0, axis=1)
+                    s1 = jnp.take_along_axis(rep, l1, axis=1)
+                    k = krel + base
+                    wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
+                        oy1v == k, wy1, 0.0
+                    )
+                    w0 = wk * a0
+                    w1 = wk * a1
+                    # pack_rgb leaves the top byte zero -> bare shift for b
+                    return (
+                        ar
+                        + (s0 & 0xFF).astype(jnp.float32) * w0
+                        + (s1 & 0xFF).astype(jnp.float32) * w1,
+                        ag
+                        + ((s0 >> 8) & 0xFF).astype(jnp.float32) * w0
+                        + ((s1 >> 8) & 0xFF).astype(jnp.float32) * w1,
+                        ab
+                        + (s0 >> 16).astype(jnp.float32) * w0
+                        + (s1 >> 16).astype(jnp.float32) * w1,
+                    )
 
-            v0 = jnp.zeros((TH, TW), dtype=jnp.int32)
-            v1 = jnp.zeros((TH, TW), dtype=jnp.int32)
-            for b in range(2 * nb):
-                if batched:
-                    rowv = jnp.where(
-                        top,
-                        wins_top[b][0, pl.ds(kt, 1), :],
-                        wins_bot[b][0, pl.ds(kb, 1), :],
-                    )  # (1, TW)
-                else:
-                    rowv = jnp.where(
-                        top,
-                        wins_top[b][pl.ds(kt, 1), :],
-                        wins_bot[b][pl.ds(kb, 1), :],
-                    )  # (1, TW)
-                rep = jnp.broadcast_to(rowv, (TH, TW))
-                s0 = jnp.take_along_axis(rep, l0, axis=1)
-                s1 = jnp.take_along_axis(rep, l1, axis=1)
-                v0 = jnp.where(b0 == b, s0, v0)
-                v1 = jnp.where(b1 == b, s1, v1)
+                idx = 2 * b + h
+                accs = jax.lax.fori_loop(
+                    lob_s[t, idx] - base, hib_s[t, idx] - base, body, accs
+                )
 
-            r0, g0, bb0 = unpack(v0)
-            r1, g1, bb1 = unpack(v1)
-            hr = r0 * (1.0 - fxv) + r1 * fxv
-            hg = g0 * (1.0 - fxv) + g1 * fxv
-            hb = bb0 * (1.0 - fxv) + bb1 * fxv
-            m0 = (oy0v == k).astype(jnp.float32)
-            m1 = (oy1v == k).astype(jnp.float32)
-            return (
-                a0r + hr * m0,
-                a0g + hg * m0,
-                a0b + hb * m0,
-                a1r + hr * m1,
-                a1g + hg * m1,
-                a1b + hb * m1,
-            )
-
-        zeros = jnp.zeros((TH, TW), dtype=jnp.float32)
-        accs = jax.lax.fori_loop(
-            lo_s[t], hi_s[t], body, (zeros,) * 6
-        )
-        a0r, a0g, a0b, a1r, a1g, a1b = accs
         vv = valid[0]
-        out_r[0] = (a0r * (1.0 - fyv) + a1r * fyv) * vv
-        out_g[0] = (a0g * (1.0 - fyv) + a1g * fyv) * vv
-        out_b[0] = (a0b * (1.0 - fyv) + a1b * fyv) * vv
+        out_r[0] = accs[0] * vv
+        out_g[0] = accs[1] * vv
+        out_b[0] = accs[2] * vv
 
     return kern
 
@@ -410,7 +419,7 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
     )
 
     def win_spec(sy, c):
-        def imap(t, by_s, bx_s, by2_s, bx2_s, lo_s, hi_s):
+        def imap(t, by_s, bx_s, by2_s, lob_s, hib_s):
             yy = by2_s[t] if sy else by_s[t]
             return (yy, bx_s[t] + c)
 
@@ -420,7 +429,7 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
         win_spec(1, c) for c in range(2 * nb)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(nt,),
         in_specs=[
             tile_spec,  # oy0
@@ -444,9 +453,8 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
         plan.by,
         plan.bx,
         plan.by2,
-        plan.bx2,
-        plan.row_lo,
-        plan.row_hi,
+        plan.lob,
+        plan.hib,
         plan.oy0,
         plan.oy1,
         plan.ox0,
@@ -505,9 +513,8 @@ class BatchedRemapPlan:
     by: object
     bx: object
     by2: object
-    bx2: object
-    row_lo: object
-    row_hi: object
+    lob: object
+    hib: object
     oy0: object
     oy1: object
     ox0: object
@@ -525,9 +532,8 @@ register_plan(
         "by",
         "bx",
         "by2",
-        "bx2",
-        "row_lo",
-        "row_hi",
+        "lob",
+        "hib",
         "oy0",
         "oy1",
         "ox0",
@@ -572,9 +578,8 @@ def merge_remap_plans(maps, in_h, in_w):
         by=cat("by"),
         bx=cat("bx"),
         by2=cat("by2"),
-        bx2=cat("bx2"),
-        row_lo=cat("row_lo"),
-        row_hi=cat("row_hi"),
+        lob=cat("lob"),
+        hib=cat("hib"),
         oy0=cat("oy0"),
         oy1=cat("oy1"),
         ox0=cat("ox0"),
@@ -606,7 +611,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
     )
 
     def win_spec(sy, c):
-        def imap(t, img_s, by_s, bx_s, by2_s, bx2_s, lo_s, hi_s):
+        def imap(t, img_s, by_s, bx_s, by2_s, lob_s, hib_s):
             yy = by2_s[t] if sy else by_s[t]
             return (img_s[t], yy, bx_s[t] + c)
 
@@ -616,7 +621,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         win_spec(1, c) for c in range(2 * nb)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=6,
         grid=(nt,),
         in_specs=[tile_spec] * 7 + win_specs,
         out_specs=[tile_spec, tile_spec, tile_spec],
@@ -632,9 +637,8 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         plan.by,
         plan.bx,
         plan.by2,
-        plan.bx2,
-        plan.row_lo,
-        plan.row_hi,
+        plan.lob,
+        plan.hib,
         plan.oy0,
         plan.oy1,
         plan.ox0,

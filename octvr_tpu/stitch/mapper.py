@@ -55,7 +55,11 @@ __all__ = ["Mapper", "StitchPlan"]
 class _InputPlan:
     roi: tuple
     remap: object
-    work_remap: object  # working-scale gather (remap+nearest-subsample fused)
+    # working-scale subsample indices into the warped ROI image (the
+    # warped pixel at the subsampled map coordinate IS the working-scale
+    # value, so no second gather is needed)
+    wys: object  # i32 [wh] or None
+    wxs: object  # i32 [ww] or None
     work_roi: tuple
     vignette: Optional[np.ndarray]  # f32 [H_in, W_in] or None
     mask: np.ndarray  # u8 roi-sized
@@ -63,7 +67,7 @@ class _InputPlan:
 
 register_plan(
     _InputPlan,
-    children=("remap", "work_remap", "vignette", "mask"),
+    children=("remap", "wys", "wxs", "vignette", "mask"),
     static=("roi", "work_roi"),
 )
 
@@ -143,7 +147,7 @@ class Mapper:
             else:
                 rp = None  # served by the batched kernel
 
-            wrp = None
+            wys = wxs = None
             wroi = None
             if not is_overlay:
                 wroi = (
@@ -152,11 +156,8 @@ class Mapper:
                     int(rw * working_scale),
                     int(rh * working_scale),
                 )
-                ys = _nearest_indices(wroi[3], rh)
-                xs = _nearest_indices(wroi[2], rw)
-                wrp = remap_plan(
-                    inp.map1[ys][:, xs], inp.map2[ys][:, xs], in_h, in_w
-                )
+                wys = _nearest_indices(wroi[3], rh).astype(np.int32)
+                wxs = _nearest_indices(wroi[2], rw).astype(np.int32)
                 work_masks.append(
                     np.asarray(
                         resize_nearest(inp.mask, wroi[3], wroi[2])
@@ -173,7 +174,8 @@ class Mapper:
             ip = _InputPlan(
                 roi=inp.roi,
                 remap=rp,
-                work_remap=wrp,
+                wys=wys,
+                wxs=wxs,
                 work_roi=wroi,
                 vignette=vig,
                 mask=inp.mask,
@@ -236,7 +238,7 @@ class Mapper:
                 buf = merge_yuv420p(*split_nv12(buf))
             return yuv420p_to_rgb_planar(buf)
 
-        warped, work_norms, packed_all = [], [], []
+        warped, packed_all = [], []
         for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
             rgb = to_rgb(buf)  # [3, H, W] f32 planar
             if ip.vignette is not None:
@@ -248,17 +250,23 @@ class Mapper:
                     warped.append(pallas_remap_apply(packed_all[-1], ip.remap))
                 else:
                     warped.append(remap_apply_packed(packed, ip.remap))
-            if ip.work_remap is not None and plan.gain is not None:
-                wimg = remap_apply_packed(packed, ip.work_remap)
-                work_norms.append(
-                    jnp.sqrt(jnp.sum(wimg * wimg, axis=0))
-                )
         if plan.batched_remap is not None:
             warped = list(
                 pallas_remap_apply_batched(
                     jnp.stack(packed_all), plan.batched_remap
                 )
             )
+
+        # working-scale luminance norms straight off the warped images:
+        # warped[y, x] already equals the bilinear source lookup at the
+        # subsampled map coordinate, so a static row/col subsample
+        # replaces the reference's extra working-scale remap
+        # (mapper.cpp:235 resize) with two tiny index slices
+        work_norms = []
+        if plan.gain is not None:
+            for w, ip in zip(warped[: self.num_inputs], plan.inputs):
+                wimg = w[:, jnp.asarray(ip.wys)][:, :, jnp.asarray(ip.wxs)]
+                work_norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
 
         gains = None
         if plan.gain_blocks is not None:
