@@ -56,9 +56,11 @@ class PallasRemapPlan:
     by: object  # window row-block index
     bx: object  # window col-block index
     by2: object  # clamped by+1
-    # per-(tile, col-block, half) row ranges [nt, 4*nb] i32 (abs window rows)
-    lob: object
-    hib: object
+    # per-(tile, col-block) row range, FLAT [nt * 2*nb] i32, lo | hi<<16
+    # in absolute window rows (layout t*2nb + b).  Kept 1-D and packed
+    # because scalar prefetch operands live in 1 MB SMEM (2-D operands
+    # are lane-padded); the kernel splits the range at KH per half.
+    rng: object
     # per-pixel tile-major arrays [nt, 8, 128]
     oy0: object  # window-relative row of the y0 tap, [0, 2*KH)
     oy1: object
@@ -79,8 +81,7 @@ register_plan(
         "by",
         "bx",
         "by2",
-        "lob",
-        "hib",
+        "rng",
         "oy0",
         "oy1",
         "ox0",
@@ -201,27 +202,20 @@ def pallas_remap_plan(
     ox0c = np.clip(ox0, 0, 2 * KW - 1).astype(np.int32)
     ox1c = np.clip(ox1, 0, 2 * KW - 1).astype(np.int32)
 
-    # per-(col-block, half) window-row ranges: block b only loops over
-    # the rows its own taps touch (arcs cross blocks, so this is much
-    # tighter than one whole-window fan per tile)
+    # per-col-block window-row ranges: block b only loops over the rows
+    # its own taps touch (arcs cross blocks, so this is much tighter
+    # than one whole-window fan per tile)
     b0p = ox0c >> 7
     b1p = ox1c >> 7
-    lob = np.zeros((nt, 4 * nb), dtype=np.int32)
-    hib = np.zeros((nt, 4 * nb), dtype=np.int32)
+    rng = np.zeros((nt, 2 * nb), dtype=np.int32)
     for b in range(2 * nb):
         m = covered & ((b0p == b) | (b1p == b))
         anym = m.reshape(nt, -1).any(axis=1)
         rmin = np.where(m, oy0c, big).reshape(nt, -1).min(axis=1)
         rmax = np.where(m, oy1c, -big).reshape(nt, -1).max(axis=1) + 1
-        for h in range(2):
-            base, top = h * KH, (h + 1) * KH
-            lo = np.clip(rmin, base, top)
-            hi = np.clip(rmax, base, top)
-            empty = (~anym) | (hi <= lo)
-            lo[empty] = base
-            hi[empty] = base
-            lob[:, 2 * b + h] = lo
-            hib[:, 2 * b + h] = hi
+        lo = np.where(anym, np.clip(rmin, 0, 2 * KH), 0)
+        hi = np.where(anym, np.clip(rmax, 0, 2 * KH), 0)
+        rng[:, b] = lo | (hi << 16)
 
     # ---- residual pixels
     resid = (~in_win) & ~t_invalid
@@ -270,8 +264,7 @@ def pallas_remap_plan(
         by = padt(by)
         by2 = padt(by2)
         bx = padt(bx)
-        lob = padt(lob)
-        hib = padt(hib)  # lo == hi == 0 -> empty loops for pad tiles
+        rng = padt(rng)  # lo == hi == 0 -> empty loops for pad tiles
         oy0c = padt(oy0c)
         oy1c = padt(oy1c)
         ox0c = padt(ox0c)
@@ -294,8 +287,7 @@ def pallas_remap_plan(
         by=by,
         bx=bx,
         by2=by2,
-        lob=lob,
-        hib=hib,
+        rng=rng.reshape(-1),
         oy0=oy0c,
         oy1=oy1c,
         ox0=ox0c,
@@ -323,11 +315,11 @@ def _kernel(KH, KW, nb, batched=False):
     lane gathers and one accumulate."""
 
     def kern(*args):
-        ns = 6 if batched else 5
+        ns = 5 if batched else 4
         if batched:
-            (img_s, by_s, bx_s, by2_s, lob_s, hib_s) = args[:6]
+            (img_s, by_s, bx_s, by2_s, rng_s) = args[:5]
         else:
-            (by_s, bx_s, by2_s, lob_s, hib_s) = args[:5]
+            (by_s, bx_s, by2_s, rng_s) = args[:4]
         (oy0, oy1, ox0, ox1, fx, fy, valid) = args[ns : ns + 7]
         wins = args[ns + 7 : ns + 7 + 4 * nb]  # half0 blocks, then half1
         out_r, out_g, out_b = args[ns + 7 + 4 * nb : ns + 10 + 4 * nb]
@@ -353,41 +345,59 @@ def _kernel(KH, KW, nb, batched=False):
             # lane-block masks hoisted out of the row loop
             a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
             a1 = jnp.where(b1 == b, fxv, 0.0)
+            v = rng_s[t * (2 * nb) + b]
+            lo_b = v & 0xFFFF
+            hi_b = v >> 16
             for h in range(2):
                 win = wins[h * 2 * nb + b]
                 base = h * KH
 
-                def body(krel, accs, win=win, base=base, a0=a0, a1=a1):
+                # Chunked row fan: the fori_loop carry chain is
+                # latency-bound, so each iteration consumes EIGHT window
+                # rows (one (8, TW) chunk read, body unrolled) — extra
+                # rows at the chunk edges get zero weight and cost only
+                # ALU slack that was idle anyway.
+                def body(c, accs, win=win, base=base, a0=a0, a1=a1):
                     ar, ag, ab = accs
                     if batched:
-                        rowv = win[0, pl.ds(krel, 1), :]
+                        rowc = win[0, pl.ds(c * TH, TH), :]
                     else:
-                        rowv = win[pl.ds(krel, 1), :]
-                    rep = jnp.broadcast_to(rowv, (TH, TW))
-                    s0 = jnp.take_along_axis(rep, l0, axis=1)
-                    s1 = jnp.take_along_axis(rep, l1, axis=1)
-                    k = krel + base
-                    wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
-                        oy1v == k, wy1, 0.0
-                    )
-                    w0 = wk * a0
-                    w1 = wk * a1
-                    # pack_rgb leaves the top byte zero -> bare shift for b
-                    return (
-                        ar
-                        + (s0 & 0xFF).astype(jnp.float32) * w0
-                        + (s1 & 0xFF).astype(jnp.float32) * w1,
-                        ag
-                        + ((s0 >> 8) & 0xFF).astype(jnp.float32) * w0
-                        + ((s1 >> 8) & 0xFF).astype(jnp.float32) * w1,
-                        ab
-                        + (s0 >> 16).astype(jnp.float32) * w0
-                        + (s1 >> 16).astype(jnp.float32) * w1,
-                    )
+                        rowc = win[pl.ds(c * TH, TH), :]
+                    for r in range(TH):
+                        rep = jnp.broadcast_to(rowc[r : r + 1, :], (TH, TW))
+                        s0 = jnp.take_along_axis(rep, l0, axis=1)
+                        s1 = jnp.take_along_axis(rep, l1, axis=1)
+                        k = c * TH + r + base
+                        wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
+                            oy1v == k, wy1, 0.0
+                        )
+                        w0 = wk * a0
+                        w1 = wk * a1
+                        # pack_rgb leaves the top byte zero -> bare shift
+                        ar = (
+                            ar
+                            + (s0 & 0xFF).astype(jnp.float32) * w0
+                            + (s1 & 0xFF).astype(jnp.float32) * w1
+                        )
+                        ag = (
+                            ag
+                            + ((s0 >> 8) & 0xFF).astype(jnp.float32) * w0
+                            + ((s1 >> 8) & 0xFF).astype(jnp.float32) * w1
+                        )
+                        ab = (
+                            ab
+                            + (s0 >> 16).astype(jnp.float32) * w0
+                            + (s1 >> 16).astype(jnp.float32) * w1
+                        )
+                    return (ar, ag, ab)
 
-                idx = 2 * b + h
+                lo_h = jnp.maximum(lo_b, base) - base
+                hi_h = jnp.minimum(hi_b, base + KH) - base
                 accs = jax.lax.fori_loop(
-                    lob_s[t, idx] - base, hib_s[t, idx] - base, body, accs
+                    lo_h // TH,
+                    (hi_h + TH - 1) // TH,
+                    body,
+                    accs,
                 )
 
         vv = valid[0]
@@ -419,7 +429,7 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
     )
 
     def win_spec(sy, c):
-        def imap(t, by_s, bx_s, by2_s, lob_s, hib_s):
+        def imap(t, by_s, bx_s, by2_s, rng_s):
             yy = by2_s[t] if sy else by_s[t]
             return (yy, bx_s[t] + c)
 
@@ -429,7 +439,7 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
         win_spec(1, c) for c in range(2 * nb)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(nt,),
         in_specs=[
             tile_spec,  # oy0
@@ -453,8 +463,7 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
         plan.by,
         plan.bx,
         plan.by2,
-        plan.lob,
-        plan.hib,
+        plan.rng,
         plan.oy0,
         plan.oy1,
         plan.ox0,
@@ -513,8 +522,7 @@ class BatchedRemapPlan:
     by: object
     bx: object
     by2: object
-    lob: object
-    hib: object
+    rng: object
     oy0: object
     oy1: object
     ox0: object
@@ -532,8 +540,7 @@ register_plan(
         "by",
         "bx",
         "by2",
-        "lob",
-        "hib",
+        "rng",
         "oy0",
         "oy1",
         "ox0",
@@ -578,8 +585,7 @@ def merge_remap_plans(maps, in_h, in_w):
         by=cat("by"),
         bx=cat("bx"),
         by2=cat("by2"),
-        lob=cat("lob"),
-        hib=cat("hib"),
+        rng=cat("rng"),
         oy0=cat("oy0"),
         oy1=cat("oy1"),
         ox0=cat("ox0"),
@@ -611,7 +617,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
     )
 
     def win_spec(sy, c):
-        def imap(t, img_s, by_s, bx_s, by2_s, lob_s, hib_s):
+        def imap(t, img_s, by_s, bx_s, by2_s, rng_s):
             yy = by2_s[t] if sy else by_s[t]
             return (img_s[t], yy, bx_s[t] + c)
 
@@ -621,7 +627,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         win_spec(1, c) for c in range(2 * nb)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(nt,),
         in_specs=[tile_spec] * 7 + win_specs,
         out_specs=[tile_spec, tile_spec, tile_spec],
@@ -637,8 +643,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         plan.by,
         plan.bx,
         plan.by2,
-        plan.lob,
-        plan.hib,
+        plan.rng,
         plan.oy0,
         plan.oy1,
         plan.ox0,

@@ -28,7 +28,7 @@ from bench import CAM, CANVAS_H, CANVAS_W, six_cam_rig  # noqa: E402
 
 from octvr_tpu.ops.color import rgb_planar_to_yuv420p, yuv420p_to_rgb_planar
 from octvr_tpu.ops.pallas_remap import pallas_remap_apply_batched
-from octvr_tpu.ops.remap import pack_rgb, remap_apply_packed
+from octvr_tpu.ops.remap import pack_rgb
 from octvr_tpu.stitch import Mapper
 from octvr_tpu.stitch.blenders import multiband_blend
 from octvr_tpu.stitch.gain import solve_gains
@@ -89,20 +89,16 @@ def main():
 
     warped = timeit("pallas remap (6 cams)", phase_remap, plan, packed)
 
-    # phase 3: working-scale remap + norms + gain solve
+    # phase 3: working-scale subsample of warped + norms + gain solve
     @jax.jit
-    def phase_gain(plan, bufs):
+    def phase_gain(plan, warped):
         norms = []
-        for buf, ip in zip(bufs, plan.inputs):
-            rgb = yuv420p_to_rgb_planar(buf)
-            if ip.vignette is not None:
-                rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
-            p = pack_rgb(rgb)
-            wimg = remap_apply_packed(p, ip.work_remap)
+        for w, ip in zip(warped, plan.inputs):
+            wimg = w[:, jnp.asarray(ip.wys)][:, :, jnp.asarray(ip.wxs)]
             norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
         return solve_gains(plan.gain, norms)
 
-    gains = timeit("gain (work remap + solve)", phase_gain, plan, bufs)
+    gains = timeit("gain (subsample + solve)", phase_gain, plan, list(warped))
 
     # phase 4: multiband blend
     @jax.jit
