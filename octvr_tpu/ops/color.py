@@ -45,14 +45,30 @@ def _upsample2(c):
     return jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1)
 
 
-def yuv420p_to_rgb_planar(buf, dtype=jnp.float32):
+def up_cols_matrix(w_half):
+    """[w_half, 2*w_half] nearest column-duplication matrix: a lane
+    repeat is a slow relayout on TPU, the equivalent MXU matmul is ~2x
+    faster (bit-exact).  Pass the result as ``up_cols``."""
+    import numpy as np
+
+    R = np.zeros((w_half, 2 * w_half), dtype=np.float32)
+    R[np.arange(2 * w_half) // 2, np.arange(2 * w_half)] = 1.0
+    return R
+
+
+def yuv420p_to_rgb_planar(buf, dtype=jnp.float32, up_cols=None):
     """Packed YUV420P uint8 -> planar RGB float [3, H, W] in [0, 255].
     Planar-native: no [H, W, 3] intermediate (a 3-lane minor axis forces
-    slow relayouts on TPU)."""
+    slow relayouts on TPU).  ``up_cols`` (from up_cols_matrix) routes the
+    chroma column upsample through the MXU."""
     y, u, v = split_yuv420p(buf)
     yf = y.astype(dtype)
-    uf = _upsample2(u).astype(dtype) - 128.0
-    vf = _upsample2(v).astype(dtype) - 128.0
+    if up_cols is None:
+        uf = _upsample2(u).astype(dtype) - 128.0
+        vf = _upsample2(v).astype(dtype) - 128.0
+    else:
+        uf = (jnp.repeat(u.astype(dtype), 2, axis=0) - 128.0) @ up_cols
+        vf = (jnp.repeat(v.astype(dtype), 2, axis=0) - 128.0) @ up_cols
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf

@@ -52,6 +52,11 @@ class PallasRemapPlan:
     KH: int  # block height (window = 2*KH rows)
     KW: int  # block width (window = 2*KW cols)
     nt: int
+    # canvas footprint of one (8,128) tile: (ph, pw) with ph*pw = 1024.
+    # Anisotropic maps (pole cameras: source arcs) want square-ish
+    # patches — a 32x32 canvas patch subtends a ~4x shorter arc than an
+    # 8x128 strip, shrinking the window rows the fan must visit.
+    patch: tuple
     # per-tile scalars [nt] i32
     by: object  # window row-block index
     bx: object  # window col-block index
@@ -93,7 +98,7 @@ register_plan(
         "res_idx",
         "res_w",
     ),
-    static=("out_shape", "in_shape", "KH", "KW", "nt"),
+    static=("out_shape", "in_shape", "KH", "KW", "nt", "patch"),
 )
 
 
@@ -107,12 +112,16 @@ def pallas_remap_plan(
     force_kh: int = None,
     force_kw: int = None,
     pad_nt: int = None,
+    patch: tuple = (TH, TW),
 ) -> PallasRemapPlan:
-    """Build the tiled gather plan from normalized maps (-1 = invalid)."""
+    """Build the tiled gather plan from normalized maps (-1 = invalid).
+    ``patch`` is the canvas footprint of one (8,128) kernel tile."""
+    ph, pw = patch
+    assert ph * pw == TH * TW and ph % TH == 0
     rh, rw = map1.shape
-    nty, ntx = -(-rh // TH), -(-rw // TW)
+    nty, ntx = -(-rh // ph), -(-rw // pw)
     nt = nty * ntx
-    hp, wp = nty * TH, ntx * TW
+    hp, wp = nty * ph, ntx * pw
 
     def padmap(a, fill):
         out = np.full((hp, wp), fill, dtype=a.dtype)
@@ -137,8 +146,9 @@ def pallas_remap_plan(
     fy[invalid] = 0.0
 
     def tileize(a):
+        # canvas patches (ph, pw) flatten row-major into (8, 128) tiles
         return (
-            a.reshape(nty, TH, ntx, TW)
+            a.reshape(nty, ph, ntx, pw)
             .transpose(0, 2, 1, 3)
             .reshape(nt, TH, TW)
         )
@@ -221,8 +231,9 @@ def pallas_remap_plan(
     resid = (~in_win) & ~t_invalid
     res_t, res_r, res_c = np.nonzero(resid)
     tyi, txi = res_t // ntx, res_t % ntx
-    gr = tyi * TH + res_r
-    gc = txi * TW + res_c
+    flat = res_r * TW + res_c  # position within the (ph, pw) patch
+    gr = tyi * ph + flat // pw
+    gc = txi * pw + flat % pw
     keep = (gr < rh) & (gc < rw)
     gr, gc, res_t, res_r, res_c = (
         a[keep] for a in (gr, gc, res_t, res_r, res_c)
@@ -284,6 +295,7 @@ def pallas_remap_plan(
         KH=KH,
         KW=KW,
         nt=nt_padded,
+        patch=(ph, pw),
         by=by,
         bx=bx,
         by2=by2,
@@ -416,8 +428,9 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
     in_h, in_w = plan.in_shape
     KH, KW, nt = plan.KH, plan.KW, plan.nt
     nb = KW // TW
-    ntx = -(-rw // TW)
-    nty = -(-rh // TH)
+    ph, pw = plan.patch
+    ntx = -(-rw // pw)
+    nty = -(-rh // ph)
 
     hp_in = -(-in_h // KH) * KH
     wp_in = max(-(-in_w // TW) * TW, 2 * KW)
@@ -477,9 +490,9 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
     def untile(a):
         return (
             a[: nty * ntx]
-            .reshape(nty, ntx, TH, TW)
+            .reshape(nty, ntx, ph, pw)
             .transpose(0, 2, 1, 3)
-            .reshape(nty * TH, ntx * TW)[:rh, :rw]
+            .reshape(nty * ph, ntx * pw)[:rh, :rw]
         )
 
     out = jnp.stack([untile(r), untile(g), untile(b)])
@@ -518,6 +531,7 @@ class BatchedRemapPlan:
     nt: int  # total tiles
     out_shapes: tuple  # per input (rh, rw)
     tile_offsets: tuple  # per input start index into the tile axis
+    patches: tuple  # per input (ph, pw) canvas footprint of a tile
     img: object  # [nt] i32
     by: object
     bx: object
@@ -550,19 +564,64 @@ register_plan(
         "valid",
         "res",
     ),
-    static=("in_shape", "KH", "KW", "nt", "out_shapes", "tile_offsets"),
+    static=("in_shape", "KH", "KW", "nt", "out_shapes", "tile_offsets", "patches"),
 )
 
 
+def _patch_row_cost(map1, map2, in_h, in_w, patch):
+    """Estimated fan iterations for a patch shape: sum over tiles of the
+    source-row span (cheap pre-pass used to pick each input's patch)."""
+    ph, pw = patch
+    rh, rw = map1.shape
+    nty, ntx = -(-rh // ph), -(-rw // pw)
+    hp, wp = nty * ph, ntx * pw
+    m1 = np.full((hp, wp), -1.0, dtype=np.float32)
+    m1[:rh, :rw] = map1
+    m2 = np.full((hp, wp), -1.0, dtype=np.float32)
+    m2[:rh, :rw] = map2
+    invalid = m1 < 0
+    py = m2.astype(np.float64) * in_h - 0.5
+    y0 = np.clip(np.floor(py), 0, in_h - 1)
+
+    def tz(a):
+        return (
+            a.reshape(nty, ph, ntx, pw).transpose(0, 2, 1, 3).reshape(-1, ph * pw)
+        )
+
+    big = 1 << 30
+    ty = tz(np.where(invalid, big, y0))
+    ty1 = tz(np.where(invalid, -big, y0 + 1))
+    ymin = ty.min(axis=1)
+    ymax = ty1.max(axis=1)
+    anyv = tz(~invalid).any(axis=1)
+    return int(np.where(anyv, np.maximum(ymax - ymin + 1, 0), 0).sum())
+
+
+PATCH_CANDIDATES = ((TH, TW), (16, 64), (32, 32))
+
+
 def merge_remap_plans(maps, in_h, in_w):
-    """maps: list of (map1, map2).  Builds per-input plans with common
-    (KH, KW) and concatenates them into one BatchedRemapPlan."""
-    probes = [pallas_remap_plan(m1, m2, in_h, in_w) for m1, m2 in maps]
+    """maps: list of (map1, map2).  Picks each input's tile patch shape
+    (pole cameras' source arcs favor square-ish patches), builds
+    per-input plans with common (KH, KW), concatenates them into one
+    BatchedRemapPlan."""
+    patches = []
+    for m1, m2 in maps:
+        costs = [
+            _patch_row_cost(m1, m2, in_h, in_w, p) for p in PATCH_CANDIDATES
+        ]
+        patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
+    probes = [
+        pallas_remap_plan(m1, m2, in_h, in_w, patch=p)
+        for (m1, m2), p in zip(maps, patches)
+    ]
     KH = max(p.KH for p in probes)
     KW = max(p.KW for p in probes)
     plans = [
-        pallas_remap_plan(m1, m2, in_h, in_w, force_kh=KH, force_kw=KW)
-        for m1, m2 in maps
+        pallas_remap_plan(
+            m1, m2, in_h, in_w, force_kh=KH, force_kw=KW, patch=p
+        )
+        for (m1, m2), p in zip(maps, patches)
     ]
     offs, img = [], []
     start = 0
@@ -581,6 +640,7 @@ def merge_remap_plans(maps, in_h, in_w):
         nt=start,
         out_shapes=tuple(p.out_shape for p in plans),
         tile_offsets=tuple(offs),
+        patches=tuple(p.patch for p in plans),
         img=np.concatenate(img),
         by=cat("by"),
         bx=cat("bx"),
@@ -656,16 +716,17 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
 
     outs = []
     for i, (rh, rw) in enumerate(plan.out_shapes):
-        ntx = -(-rw // TW)
-        nty = -(-rh // TH)
+        ph, pw = plan.patches[i]
+        ntx = -(-rw // pw)
+        nty = -(-rh // ph)
         start = plan.tile_offsets[i]
 
-        def untile(a):
+        def untile(a, ph=ph, pw=pw, nty=nty, ntx=ntx, start=start, rh=rh, rw=rw):
             return (
                 a[start : start + nty * ntx]
-                .reshape(nty, ntx, TH, TW)
+                .reshape(nty, ntx, ph, pw)
                 .transpose(0, 2, 1, 3)
-                .reshape(nty * TH, ntx * TW)[:rh, :rw]
+                .reshape(nty * ph, ntx * pw)[:rh, :rw]
             )
 
         out = jnp.stack([untile(r), untile(g), untile(b)])

@@ -25,6 +25,7 @@ from ..ops.color import (
     rgb_planar_to_yuv420p,
     split_nv12,
     split_yuv420p,
+    up_cols_matrix,
     yuv420p_to_rgb_planar,
 )
 from ..ops.pallas_remap import (
@@ -34,7 +35,7 @@ from ..ops.pallas_remap import (
     pallas_remap_plan,
 )
 from ..ops.remap import pack_rgb, remap_apply_packed, remap_plan
-from ..ops.resize import resize_bilinear, resize_nearest
+from ..ops.resize import resize_bilinear
 from ..template.compiler import MapperTemplate
 from ..utils.pytree import register_plan
 from .blenders import (
@@ -55,11 +56,11 @@ __all__ = ["Mapper", "StitchPlan"]
 class _InputPlan:
     roi: tuple
     remap: object
-    # working-scale subsample indices into the warped ROI image (the
-    # warped pixel at the subsampled map coordinate IS the working-scale
-    # value, so no second gather is needed)
-    wys: object  # i32 [wh] or None
-    wxs: object  # i32 [ww] or None
+    # working-scale subsample of the warped ROI image: (oy, ox, stride,
+    # wh, ww) — a strided slice on a canvas-aligned grid (the warped
+    # pixel at the subsampled coordinate IS the working-scale value, so
+    # no second gather is needed; strided slices beat lane gathers)
+    work_sub: Optional[tuple]
     work_roi: tuple
     vignette: Optional[np.ndarray]  # f32 [H_in, W_in] or None
     mask: np.ndarray  # u8 roi-sized
@@ -67,8 +68,8 @@ class _InputPlan:
 
 register_plan(
     _InputPlan,
-    children=("remap", "wys", "wxs", "vignette", "mask"),
-    static=("roi", "work_roi"),
+    children=("remap", "vignette", "mask"),
+    static=("roi", "work_sub", "work_roi"),
 )
 
 
@@ -83,20 +84,23 @@ class StitchPlan:
     blender: object = None
     blend_kind: str = "none"  # "multiband" | "feather" | "none"
     batched_remap: object = None  # BatchedRemapPlan when all sizes equal
+    chroma_up: dict = field(default_factory=dict)  # width -> MXU upsample
     working_scale: float = 1.0
 
 
 register_plan(
     StitchPlan,
-    children=("inputs", "overlays", "gain", "gain_blocks", "blender", "batched_remap"),
+    children=(
+        "inputs",
+        "overlays",
+        "gain",
+        "gain_blocks",
+        "blender",
+        "batched_remap",
+        "chroma_up",
+    ),
     static=("canvas_size", "out_size", "blend_kind", "working_scale"),
 )
-
-
-def _nearest_indices(n_out, n_in):
-    return np.minimum(
-        np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int64), n_in - 1
-    )
 
 
 class Mapper:
@@ -134,6 +138,9 @@ class Mapper:
         )
 
         working_scale = min(1.0, math.sqrt(WORKING_MEGAPIX * 1e6 / (W * H)))
+        # integer canvas stride realizing the working scale: every image
+        # samples the same global canvas grid, so overlaps line up
+        stride = max(1, int(round(1.0 / working_scale)))
 
         work_masks, work_rois = [], []
         for idx, inp in enumerate(mt.inputs + mt.overlay_inputs):
@@ -147,22 +154,17 @@ class Mapper:
             else:
                 rp = None  # served by the batched kernel
 
-            wys = wxs = None
+            work_sub = None
             wroi = None
             if not is_overlay:
-                wroi = (
-                    int(rx * working_scale),
-                    int(ry * working_scale),
-                    int(rw * working_scale),
-                    int(rh * working_scale),
-                )
-                wys = _nearest_indices(wroi[3], rh).astype(np.int32)
-                wxs = _nearest_indices(wroi[2], rw).astype(np.int32)
-                work_masks.append(
-                    np.asarray(
-                        resize_nearest(inp.mask, wroi[3], wroi[2])
-                    )
-                )
+                gx = -(-rx // stride)  # first grid column inside the roi
+                gy = -(-ry // stride)
+                ox, oy = gx * stride - rx, gy * stride - ry
+                ww = (rw - ox + stride - 1) // stride
+                wh = (rh - oy + stride - 1) // stride
+                work_sub = (oy, ox, stride, wh, ww)
+                wroi = (gx, gy, ww, wh)
+                work_masks.append(inp.mask[oy::stride, ox::stride])
                 work_rois.append(wroi)
 
             vig = None
@@ -174,8 +176,7 @@ class Mapper:
             ip = _InputPlan(
                 roi=inp.roi,
                 remap=rp,
-                wys=wys,
-                wxs=wxs,
+                work_sub=work_sub,
                 work_roi=wroi,
                 vignette=vig,
                 mask=inp.mask,
@@ -184,14 +185,17 @@ class Mapper:
 
         if enable_gain == "blocks":
             plan.gain = build_gain_plan(work_masks, work_rois)  # for sums
-            ws_w = int(W * working_scale)
-            ws_h = int(H * working_scale)
+            ws_w = -(-W // stride)
+            ws_h = -(-H // stride)
             plan.gain_blocks = build_blocks_gain_plan(
                 work_masks, work_rois, (ws_w, ws_h)
             )
         elif enable_gain:
             plan.gain = build_gain_plan(work_masks, work_rois)
-        plan.working_scale = working_scale
+        plan.working_scale = 1.0 / stride
+
+        for (in_h, in_w) in set(map(tuple, in_sizes)):
+            plan.chroma_up[in_w] = up_cols_matrix(in_w // 2)
 
         if self._batch_remap:
             all_inputs = mt.inputs + mt.overlay_inputs
@@ -236,7 +240,8 @@ class Mapper:
         def to_rgb(buf):
             if self.frame_format == "nv12":
                 buf = merge_yuv420p(*split_nv12(buf))
-            return yuv420p_to_rgb_planar(buf)
+            up = plan.chroma_up.get(buf.shape[1])
+            return yuv420p_to_rgb_planar(buf, up_cols=up)
 
         warped, packed_all = [], []
         for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
@@ -259,13 +264,13 @@ class Mapper:
 
         # working-scale luminance norms straight off the warped images:
         # warped[y, x] already equals the bilinear source lookup at the
-        # subsampled map coordinate, so a static row/col subsample
-        # replaces the reference's extra working-scale remap
-        # (mapper.cpp:235 resize) with two tiny index slices
+        # subsampled coordinate, so a strided slice replaces the
+        # reference's extra working-scale remap (mapper.cpp:235 resize)
         work_norms = []
         if plan.gain is not None:
             for w, ip in zip(warped[: self.num_inputs], plan.inputs):
-                wimg = w[:, jnp.asarray(ip.wys)][:, :, jnp.asarray(ip.wxs)]
+                oy, ox, s, wh, ww = ip.work_sub
+                wimg = w[:, oy::s, ox::s][:, :wh, :ww]
                 work_norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
 
         gains = None

@@ -40,11 +40,12 @@ def test_pallas_remap_matches_xla_gather():
     packed = pack_rgb(jnp.asarray(img))
 
     ref = np.asarray(remap_apply_packed(packed, remap_plan(m1, m2, in_h, in_w)))
-    pp = pallas_remap_plan(m1, m2, in_h, in_w)
-    got = np.asarray(
-        pallas_remap_apply(packed.reshape(in_h, in_w), pp, interpret=True)
-    )
-    assert np.abs(ref - got).max() < 1e-3
+    for patch in ((8, 128), (16, 64), (32, 32)):
+        pp = pallas_remap_plan(m1, m2, in_h, in_w, patch=patch)
+        got = np.asarray(
+            pallas_remap_apply(packed.reshape(in_h, in_w), pp, interpret=True)
+        )
+        assert np.abs(ref - got).max() < 1e-3, patch
 
 
 def test_pallas_remap_batched_matches_xla_gather():

@@ -38,6 +38,17 @@ ITERS = 12
 
 
 def timeit(name, fn, *args):
+    try:
+        return _timeit(name, fn, *args)
+    except Exception as e:  # keep profiling the remaining phases
+        # NOTE: phase_gain standalone has crashed the hosted TPU worker
+        # when fed another program's pallas outputs; the same code inside
+        # the full stitch program runs fine (see bench.py results)
+        print(f"{name:30s} FAILED: {type(e).__name__}")
+        return None
+
+
+def _timeit(name, fn, *args):
     out = fn(*args)  # compile
     leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "shape")]
     _ = float(jnp.sum(leaves[-1].astype(jnp.float32).ravel()[::1013]))
@@ -73,7 +84,9 @@ def main():
     def phase_color(plan, bufs):
         packed = []
         for buf, ip in zip(bufs, plan.inputs):
-            rgb = yuv420p_to_rgb_planar(buf)
+            rgb = yuv420p_to_rgb_planar(
+                buf, up_cols=plan.chroma_up.get(buf.shape[1])
+            )
             if ip.vignette is not None:
                 rgb = jnp.clip(rgb * jnp.asarray(ip.vignette)[None], 0.0, 255.0)
             p = pack_rgb(rgb)
@@ -89,16 +102,19 @@ def main():
 
     warped = timeit("pallas remap (6 cams)", phase_remap, plan, packed)
 
-    # phase 3: working-scale subsample of warped + norms + gain solve
+    # phase 3: working-scale strided subsample of warped + gain solve
     @jax.jit
     def phase_gain(plan, warped):
         norms = []
         for w, ip in zip(warped, plan.inputs):
-            wimg = w[:, jnp.asarray(ip.wys)][:, :, jnp.asarray(ip.wxs)]
+            oy, ox, s, wh, ww = ip.work_sub
+            wimg = w[:, oy::s, ox::s][:, :wh, :ww]
             norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
         return solve_gains(plan.gain, norms)
 
     gains = timeit("gain (subsample + solve)", phase_gain, plan, list(warped))
+    if gains is None:
+        gains = jnp.ones((len(plan.inputs),), jnp.float32)
 
     # phase 4: multiband blend
     @jax.jit
@@ -107,6 +123,8 @@ def main():
         return multiband_blend(plan.blender, imgs, plan.canvas_size)
 
     canvas = timeit("multiband blend (6 bands)", phase_blend, plan, list(warped), gains)
+    if canvas is None:
+        canvas = jnp.zeros((3, CANVAS_H, CANVAS_W), jnp.float32)
 
     # phase 5: output color conversion
     @jax.jit
