@@ -327,9 +327,10 @@ def _kernel(KH, KW, nb, batched=False):
     lane gathers and one accumulate."""
 
     def kern(*args):
-        ns = 5 if batched else 4
+        ns = 6 if batched else 4
         if batched:
-            (img_s, by_s, bx_s, by2_s, rng_s) = args[:5]
+            # slot_s only drives the output index_map
+            (img_s, by_s, bx_s, by2_s, rng_s, slot_s) = args[:6]
         else:
             (by_s, bx_s, by2_s, rng_s) = args[:4]
         (oy0, oy1, ox0, ox1, fx, fy, valid) = args[ns : ns + 7]
@@ -528,11 +529,14 @@ class BatchedRemapPlan:
     in_shape: tuple
     KH: int
     KW: int
-    nt: int  # total tiles
+    nt: int  # total tiles (canvas layout, including empty ones)
+    grid_nt: int  # tiles the kernel actually visits (empty ones dropped)
     out_shapes: tuple  # per input (rh, rw)
     tile_offsets: tuple  # per input start index into the tile axis
     patches: tuple  # per input (ph, pw) canvas footprint of a tile
-    img: object  # [nt] i32
+    slot: object  # [grid_nt] i32 output tile index per grid step
+    tmask: object  # [nt] f32 1 where a tile is computed, 0 for dropped
+    img: object  # [grid_nt] i32
     by: object
     bx: object
     by2: object
@@ -550,6 +554,8 @@ class BatchedRemapPlan:
 register_plan(
     BatchedRemapPlan,
     children=(
+        "slot",
+        "tmask",
         "img",
         "by",
         "bx",
@@ -564,7 +570,16 @@ register_plan(
         "valid",
         "res",
     ),
-    static=("in_shape", "KH", "KW", "nt", "out_shapes", "tile_offsets", "patches"),
+    static=(
+        "in_shape",
+        "KH",
+        "KW",
+        "nt",
+        "grid_nt",
+        "out_shapes",
+        "tile_offsets",
+        "patches",
+    ),
 )
 
 
@@ -633,26 +648,40 @@ def merge_remap_plans(maps, in_h, in_w):
     def cat(field):
         return np.concatenate([getattr(p, field) for p in plans])
 
+    valid = cat("valid")
+    # drop fully-empty tiles from the grid (wrap-around cameras leave
+    # ~30% of their ROI tiles blank; each still costs 4*nb window-block
+    # fetches) — a slot map places computed tiles back into the canvas
+    # layout, and tmask zeroes the never-written slots after the call
+    keep = valid.reshape(start, -1).sum(axis=1) > 0
+    slot = np.nonzero(keep)[0].astype(np.int32)
+    tmask = keep.astype(np.float32)
+    nb = KW // TW
+    rng2 = cat("rng").reshape(start, 2 * nb)
+
     return BatchedRemapPlan(
         in_shape=(in_h, in_w),
         KH=KH,
         KW=KW,
         nt=start,
+        grid_nt=int(slot.shape[0]),
         out_shapes=tuple(p.out_shape for p in plans),
         tile_offsets=tuple(offs),
         patches=tuple(p.patch for p in plans),
-        img=np.concatenate(img),
-        by=cat("by"),
-        bx=cat("bx"),
-        by2=cat("by2"),
-        rng=cat("rng"),
-        oy0=cat("oy0"),
-        oy1=cat("oy1"),
-        ox0=cat("ox0"),
-        ox1=cat("ox1"),
-        fx=cat("fx"),
-        fy=cat("fy"),
-        valid=cat("valid"),
+        slot=slot,
+        tmask=tmask,
+        img=np.concatenate(img)[keep],
+        by=cat("by")[keep],
+        bx=cat("bx")[keep],
+        by2=cat("by2")[keep],
+        rng=rng2[keep].reshape(-1),
+        oy0=cat("oy0")[keep],
+        oy1=cat("oy1")[keep],
+        ox0=cat("ox0")[keep],
+        ox1=cat("ox1")[keep],
+        fx=cat("fx")[keep],
+        fy=cat("fy")[keep],
+        valid=valid[keep],
         res=tuple((p.res_out, p.res_idx, p.res_w) for p in plans),
     )
 
@@ -675,9 +704,14 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
     tile_spec = pl.BlockSpec(
         (1, TH, TW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
     )
+    out_spec = pl.BlockSpec(
+        (1, TH, TW),
+        lambda t, img_s, by_s, bx_s, by2_s, rng_s, slot_s: (slot_s[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     def win_spec(sy, c):
-        def imap(t, img_s, by_s, bx_s, by2_s, rng_s):
+        def imap(t, img_s, by_s, bx_s, by2_s, rng_s, slot_s):
             yy = by2_s[t] if sy else by_s[t]
             return (img_s[t], yy, bx_s[t] + c)
 
@@ -687,10 +721,10 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         win_spec(1, c) for c in range(2 * nb)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(nt,),
+        num_scalar_prefetch=6,
+        grid=(plan.grid_nt,),
         in_specs=[tile_spec] * 7 + win_specs,
-        out_specs=[tile_spec, tile_spec, tile_spec],
+        out_specs=[out_spec, out_spec, out_spec],
     )
     shape = jax.ShapeDtypeStruct((nt, TH, TW), jnp.float32)
     r, g, b = pl.pallas_call(
@@ -704,6 +738,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         plan.bx,
         plan.by2,
         plan.rng,
+        plan.slot,
         plan.oy0,
         plan.oy1,
         plan.ox0,
@@ -713,6 +748,12 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         plan.valid,
         *([packed_stack] * (4 * nb)),
     )
+    # zero the tiles the grid never visited (dropped empty tiles);
+    # where, not multiply — the unwritten slots can hold NaNs
+    tm = jnp.asarray(plan.tmask)[:, None, None] > 0
+    r = jnp.where(tm, r, 0.0)
+    g = jnp.where(tm, g, 0.0)
+    b = jnp.where(tm, b, 0.0)
 
     outs = []
     for i, (rh, rw) in enumerate(plan.out_shapes):

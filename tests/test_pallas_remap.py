@@ -29,6 +29,10 @@ def _arc_maps(rh, rw):
     )
     m1[10:20, 30:60] = -1
     m2[10:20, 30:60] = -1
+    # full-width invalid band -> fully-empty tiles (exercises the
+    # batched path's empty-tile dropping + slot placement)
+    m1[32:48, :] = -1
+    m2[32:48, :] = -1
     return m1, m2
 
 
