@@ -95,7 +95,10 @@ def main():
 
     sizes = [(CAM, CAM)] * 6
     t0 = time.time()
-    mapper = Mapper(mt, sizes, blend=BLEND, enable_gain=True)
+    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "bfloat16")
+    mapper = Mapper(
+        mt, sizes, blend=BLEND, enable_gain=True, blend_dtype=blend_dtype
+    )
     print(f"# plan built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)

@@ -11,6 +11,7 @@ import math
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import correlate1d, distance_transform_edt
@@ -111,23 +112,38 @@ class MultiBandPlan:
     rois: List[tuple]
     align_rois: List[tuple]  # per-image padded rois, 2^bands aligned
     align_result_roi: tuple
-    weight_pyrs: List[List[np.ndarray]]  # per image, per level f32
-    band_weights: List[np.ndarray]  # per level f32 (canvas-aligned size)
+    weight_pyrs: List[List[np.ndarray]]  # per image, per level
+    band_weights: List[np.ndarray]  # per level (canvas-aligned size)
     # banded pyramid matrices per axis length (MXU path): {n: [n/2, n]}
     down_mats: dict = field(default_factory=dict)
     up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 register_plan(
     MultiBandPlan,
     children=("weight_pyrs", "band_weights", "down_mats", "up_mats"),
-    static=("num_bands", "rois", "align_rois", "align_result_roi"),
+    static=(
+        "num_bands",
+        "rois",
+        "align_rois",
+        "align_result_roi",
+        "compute_dtype",
+    ),
 )
 
 
-def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> MultiBandPlan:
+def build_multiband_plan(
+    seam_masks, rois, num_bands: int, canvas_size, dtype: str = "float32"
+) -> MultiBandPlan:
     """Aligned-ROI geometry + precomputed Gaussian weight pyramids
-    (blenders.cpp:594-668)."""
+    (blenders.cpp:594-668).
+
+    ``dtype="bfloat16"`` stores the weight pyramids / banded matrices in
+    bf16 and runs the per-frame pyramid math in bf16 with f32 matmul
+    accumulation -- the 16-bit-precision analogue of the reference's
+    CV_16S pyramid blenders (stitching/src/blenders.cpp:594-736), at
+    ~2x MXU throughput and half the HBM traffic."""
     assert num_bands >= 1
     result_roi = _union_roi(rois)
     step = 1 << num_bands
@@ -192,6 +208,18 @@ def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> Multi
             down_mats[nl] = down_matrix(nl)
             up_mats[nl >> 1] = up_matrix(nl >> 1)
 
+    if dtype != "float32":
+        cast = np.dtype(jnp.dtype(dtype).name) if dtype == "float64" else None
+        # bf16 has no native numpy dtype; go through ml_dtypes (ships
+        # with jax)
+        import ml_dtypes
+
+        bd = np.dtype(ml_dtypes.bfloat16) if dtype == "bfloat16" else cast
+        weight_pyrs = [[p.astype(bd) for p in pyr] for pyr in weight_pyrs]
+        band_weights = [b.astype(bd) for b in band_weights]
+        down_mats = {k: v.astype(bd) for k, v in down_mats.items()}
+        up_mats = {k: v.astype(bd) for k, v in up_mats.items()}
+
     return MultiBandPlan(
         num_bands=num_bands,
         rois=list(rois),
@@ -201,6 +229,7 @@ def build_multiband_plan(seam_masks, rois, num_bands: int, canvas_size) -> Multi
         band_weights=band_weights,
         down_mats=down_mats,
         up_mats=up_mats,
+        compute_dtype=dtype,
     )
 
 
@@ -211,7 +240,8 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
     B = plan.num_bands
     arx, ary, arw, arh = plan.align_result_roi
     c = imgs[0].shape[0]
-    dtype = imgs[0].dtype
+    out_dtype = imgs[0].dtype
+    dtype = jnp.dtype(plan.compute_dtype)
 
     dst_pyr = [
         jnp.zeros((c, arh >> i, arw >> i), dtype=dtype) for i in range(B + 1)
@@ -222,20 +252,29 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
         if hh in plan.down_mats and ww in plan.down_mats:
             return pyr_down_mm(
                 z, plan.down_mats[hh], plan.down_mats[ww]
-            )
-        return pyr_down(z)
+            ).astype(dtype)
+        return pyr_down(z.astype(jnp.float32)).astype(dtype)
 
     def up(z):
         _, hh, ww = z.shape
         if hh in plan.up_mats and ww in plan.up_mats:
-            return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww])
-        return pyr_up(z)
+            return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww]).astype(
+                dtype
+            )
+        return pyr_up(z.astype(jnp.float32)).astype(dtype)
 
     for img, roi, aroi, wpyr in zip(imgs, plan.rois, plan.align_rois, plan.weight_pyrs):
         x, y, w, h = roi
         ax, ay, aw, ah = aroi
+        if dtype != out_dtype:
+            # materialize before the dtype cast: letting XLA fuse the
+            # bf16 convert back into the remap/untile producer graph
+            # faults the TPU kernel at 4K scale
+            img = jax.lax.optimization_barrier(img)
         src0 = jnp.zeros((c, ah, aw), dtype=dtype)
-        src0 = src0.at[:, y - ay : y - ay + h, x - ax : x - ax + w].set(img)
+        src0 = src0.at[:, y - ay : y - ay + h, x - ax : x - ax + w].set(
+            img.astype(dtype)
+        )
         gauss = [src0]
         for _ in range(B):
             gauss.append(down(gauss[-1]))
@@ -258,10 +297,10 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
         acc = up(acc) + dst_pyr[i]
 
     w, h = canvas_size
-    canvas = jnp.zeros((c, h, w), dtype=dtype)
+    canvas = jnp.zeros((c, h, w), dtype=out_dtype)
     cw = min(arw, w - arx)
     ch = min(arh, h - ary)
     canvas = canvas.at[:, ary : ary + ch, arx : arx + cw].set(
-        acc[:, :ch, :cw]
+        acc[:, :ch, :cw].astype(out_dtype)
     )
     return canvas

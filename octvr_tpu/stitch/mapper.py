@@ -107,7 +107,10 @@ class Mapper:
     """blend: >0 multiband blend width, 0 none, <0 feather border
     (mapper.hpp:69-71).  enable_gain: False, True (global pairwise
     gains), or "blocks" (BlocksGainCompensator-style per-block gain
-    maps)."""
+    maps).  blend_dtype: multiband pyramid precision -- default bf16,
+    the 16-bit analogue of the reference's CV_16S GPU pyramids
+    (stitching/src/blenders.cpp:594-736); pass "float32" for the f32
+    path (tested to agree within <1/255 mean)."""
 
     def __init__(
         self,
@@ -118,6 +121,7 @@ class Mapper:
         scale_output=None,
         use_pallas: bool = True,
         frame_format: str = "yuv420p",
+        blend_dtype: str = "bfloat16",
     ):
         assert frame_format in ("yuv420p", "nv12")
         self.frame_format = frame_format
@@ -209,7 +213,7 @@ class Mapper:
         if blend > 0:
             num_bands = int(math.ceil(math.log(blend) / math.log(2.0)) - 1.0)
             plan.blender = build_multiband_plan(
-                mt.seam_masks, rois, num_bands, (W, H)
+                mt.seam_masks, rois, num_bands, (W, H), dtype=blend_dtype
             )
             plan.blend_kind = "multiband"
         elif blend < 0:
