@@ -69,6 +69,48 @@ def six_cam_rig():
     }
 
 
+def parity_smoke():
+    """On-TPU Pallas-vs-XLA remap parity (compiled Mosaic, not interpret
+    mode): a wrong or faulting kernel fails HERE, loudly, before the 4K
+    run (VERDICT r1 item 1)."""
+    import jax.numpy as jnp
+
+    from octvr_tpu.ops.pallas_remap import (
+        merge_remap_plans,
+        pallas_remap_apply_batched,
+    )
+    from octvr_tpu.ops.remap import pack_rgb, remap_apply_packed, remap_plan
+
+    rng = np.random.default_rng(7)
+    in_h, in_w = 96, 256
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, 64), np.linspace(0, 1, 256), indexing="ij"
+    )
+    m1 = (0.5 + 0.45 * np.cos(2 * np.pi * xx) * (0.3 + 0.6 * yy)).astype(
+        np.float32
+    )
+    m2 = (0.5 + 0.45 * np.sin(2 * np.pi * xx) * (0.3 + 0.6 * yy)).astype(
+        np.float32
+    )
+    m1[10:20, 30:60] = -1
+    m2[10:20, 30:60] = -1
+    m1[32:48, :] = -1  # fully-empty tiles: exercises slot placement
+    m2[32:48, :] = -1
+    img = rng.uniform(0, 255, (3, in_h, in_w)).astype(np.float32)
+    packed = pack_rgb(jnp.asarray(img)).reshape(in_h, in_w)
+
+    bp = merge_remap_plans([(m1, m2), (m2, m1)], in_h, in_w)
+    outs = pallas_remap_apply_batched(jnp.stack([packed, packed]), bp)
+    for maps, out in zip([(m1, m2), (m2, m1)], outs):
+        ref = np.asarray(
+            remap_apply_packed(packed.reshape(-1), remap_plan(*maps, in_h, in_w))
+        )
+        err = float(np.abs(ref - np.asarray(out)).max())
+        if err >= 1e-3:
+            raise AssertionError(f"pallas remap parity smoke failed: {err}")
+    print("# parity smoke: pallas==xla on TPU, max err < 1e-3", file=sys.stderr)
+
+
 def main():
     import os
 
@@ -87,6 +129,8 @@ def main():
     from octvr_tpu.stitch import Mapper
     from octvr_tpu.template import compile_rig
 
+    parity_smoke()
+
     t0 = time.time()
     rig = six_cam_rig()
     mt = compile_rig(rig, CANVAS_W, CANVAS_H)
@@ -95,7 +139,7 @@ def main():
 
     sizes = [(CAM, CAM)] * 6
     t0 = time.time()
-    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "bfloat16")
+    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "float32")
     mapper = Mapper(
         mt, sizes, blend=BLEND, enable_gain=True, blend_dtype=blend_dtype
     )
@@ -124,6 +168,10 @@ def main():
     out, gains = mapper._stitch_auto(mapper._plan_dev, frame_sets[0])
     _sync = float(jnp.sum(out[::101, ::103].astype(jnp.int32)))
     print(f"# first call (compile+run) {time.time()-t0:.1f}s", file=sys.stderr)
+    # parity checksum: deterministic inputs (seed 0) -> deterministic
+    # output; a silently-wrong kernel changes this number
+    print(f"# output checksum (frame 0): {int(_sync)}", file=sys.stderr)
+    sys.stderr.flush()
 
     # dispatch all frames, then force a value readback of the LAST output:
     # the device executes in order, so this syncs the whole queue (plain

@@ -208,13 +208,16 @@ def build_multiband_plan(
             down_mats[nl] = down_matrix(nl)
             up_mats[nl >> 1] = up_matrix(nl >> 1)
 
-    if dtype != "float32":
-        cast = np.dtype(jnp.dtype(dtype).name) if dtype == "float64" else None
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"multiband dtype must be 'float32' or 'bfloat16', got {dtype!r}"
+        )
+    if dtype == "bfloat16":
         # bf16 has no native numpy dtype; go through ml_dtypes (ships
         # with jax)
         import ml_dtypes
 
-        bd = np.dtype(ml_dtypes.bfloat16) if dtype == "bfloat16" else cast
+        bd = np.dtype(ml_dtypes.bfloat16)
         weight_pyrs = [[p.astype(bd) for p in pyr] for pyr in weight_pyrs]
         band_weights = [b.astype(bd) for b in band_weights]
         down_mats = {k: v.astype(bd) for k, v in down_mats.items()}

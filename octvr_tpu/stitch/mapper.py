@@ -107,10 +107,12 @@ class Mapper:
     """blend: >0 multiband blend width, 0 none, <0 feather border
     (mapper.hpp:69-71).  enable_gain: False, True (global pairwise
     gains), or "blocks" (BlocksGainCompensator-style per-block gain
-    maps).  blend_dtype: multiband pyramid precision -- default bf16,
-    the 16-bit analogue of the reference's CV_16S GPU pyramids
-    (stitching/src/blenders.cpp:594-736); pass "float32" for the f32
-    path (tested to agree within <1/255 mean)."""
+    maps).  blend_dtype: multiband pyramid precision -- "float32"
+    (default) or "bfloat16", the 16-bit analogue of the reference's
+    CV_16S GPU pyramids (stitching/src/blenders.cpp:594-736).  bf16
+    agrees within <1/255 mean but is opt-in: fusing the bf16 convert
+    into the 4K remap/untile producer graph faulted the TPU kernel in
+    round 1 (BENCH_r01.json), so it stays gated until proven stable."""
 
     def __init__(
         self,
@@ -121,7 +123,7 @@ class Mapper:
         scale_output=None,
         use_pallas: bool = True,
         frame_format: str = "yuv420p",
-        blend_dtype: str = "bfloat16",
+        blend_dtype: str = "float32",
     ):
         assert frame_format in ("yuv420p", "nv12")
         self.frame_format = frame_format
