@@ -32,7 +32,20 @@ def main(argv=None):
     )
     ap.add_argument("--out", required=True, help="output stream paths")
     ap.add_argument("--frames", type=int, default=0, help="stop after N")
-    ap.add_argument("--preview", default=None, help="PNG prefix per frame")
+    ap.add_argument(
+        "--preview",
+        default=None,
+        help="PNG path prefix: writes <prefix><frame>.png of output 0 "
+        "every --preview_interval frames (the shared-memory preview "
+        "role, async.cpp:312-335)",
+    )
+    ap.add_argument("--preview_interval", type=int, default=30)
+    ap.add_argument(
+        "--timers",
+        action="store_true",
+        help="print per-stage [Timer stitch] upload/dispatch/drain ms "
+        "every 10 frames (mapper.cpp:206-318 parity)",
+    )
     args = ap.parse_args(argv)
 
     from ..runtime import AsyncMultiMapper, FpsMeter, Timer
@@ -73,10 +86,39 @@ def main(argv=None):
         for p, m in zip(args.out.split(","), mappers)
     ]
 
-    amm = AsyncMultiMapper(mappers, gain_modes=gain_modes)
+    amm = AsyncMultiMapper(mappers, gain_modes=gain_modes, timers=args.timers)
     timer = Timer("stream")
+    t_start = time.time()
     n_pushed = n_popped = 0
     eof = False
+
+    def write_preview(outs, frame_no):
+        if args.preview is None:
+            return
+        if frame_no % max(1, args.preview_interval) != 0:
+            return
+        import jax.numpy as jnp
+
+        from ..ops.color import yuv420p_to_rgb
+        from ..utils.png import write_png
+
+        rgb = np.asarray(yuv420p_to_rgb(jnp.asarray(outs[0])))
+        img = np.clip(rgb, 0, 255).astype(np.uint8)
+        write_png(f"{args.preview}{frame_no:06d}.png", img)
+
+    def drain_one():
+        nonlocal n_popped
+        outs = amm.pop()
+        for wtr, o in zip(writers, outs):
+            wtr.push(o)
+        write_preview(outs, n_popped)
+        n_popped += 1
+        if n_popped % 10 == 0:
+            print(
+                f"# frame {n_popped}  fps {amm.fps.tick():.2f}",
+                file=sys.stderr,
+            )
+
     try:
         while not eof:
             frames = []
@@ -92,22 +134,11 @@ def main(argv=None):
             n_pushed += 1
             # drain opportunistically to keep the pipeline at depth
             while not amm._out_q.empty() or (n_pushed - n_popped) >= 3:
-                outs = amm.pop()
-                for wtr, o in zip(writers, outs):
-                    wtr.push(o)
-                n_popped += 1
-                if n_popped % 10 == 0:
-                    print(
-                        f"# frame {n_popped}  fps {amm.fps.tick():.2f}",
-                        file=sys.stderr,
-                    )
+                drain_one()
             if args.frames and n_pushed >= args.frames:
                 break
         while n_popped < n_pushed:
-            outs = amm.pop()
-            for wtr, o in zip(writers, outs):
-                wtr.push(o)
-            n_popped += 1
+            drain_one()
     finally:
         amm.close()
         for r in readers:
@@ -115,7 +146,15 @@ def main(argv=None):
         for wtr in writers:
             wtr.close()
     timer.tick(f"{n_popped} frames")
-    print(f"# done: {n_popped} frames", file=sys.stderr)
+    dt = time.time() - t_start
+    if n_popped and dt > 0:
+        print(
+            f"# done: {n_popped} frames, end-to-end {n_popped/dt:.2f} fps "
+            f"(incl. read + H2D + D2H + write)",
+            file=sys.stderr,
+        )
+    else:
+        print(f"# done: {n_popped} frames", file=sys.stderr)
 
 
 if __name__ == "__main__":

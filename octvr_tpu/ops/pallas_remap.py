@@ -531,6 +531,7 @@ class BatchedRemapPlan:
     KW: int
     nt: int  # total tiles (canvas layout, including empty ones)
     grid_nt: int  # tiles the kernel actually visits (empty ones dropped)
+    nt_out: int  # output tile slots (nt, or nt+1 with a scratch slot)
     out_shapes: tuple  # per input (rh, rw)
     tile_offsets: tuple  # per input start index into the tile axis
     patches: tuple  # per input (ph, pw) canvas footprint of a tile
@@ -576,6 +577,7 @@ register_plan(
         "KW",
         "nt",
         "grid_nt",
+        "nt_out",
         "out_shapes",
         "tile_offsets",
         "patches",
@@ -615,23 +617,47 @@ def _patch_row_cost(map1, map2, in_h, in_w, patch):
 PATCH_CANDIDATES = ((TH, TW), (16, 64), (32, 32))
 
 
-def merge_remap_plans(maps, in_h, in_w):
-    """maps: list of (map1, map2).  Picks each input's tile patch shape
-    (pole cameras' source arcs favor square-ish patches), builds
-    per-input plans with common (KH, KW), concatenates them into one
-    BatchedRemapPlan."""
+def choose_patches(maps, in_h, in_w):
+    """Per-input tile patch shape by estimated fan cost (pole cameras'
+    source arcs favor square-ish patches)."""
     patches = []
     for m1, m2 in maps:
         costs = [
             _patch_row_cost(m1, m2, in_h, in_w, p) for p in PATCH_CANDIDATES
         ]
         patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
-    probes = [
-        pallas_remap_plan(m1, m2, in_h, in_w, patch=p)
-        for (m1, m2), p in zip(maps, patches)
-    ]
-    KH = max(p.KH for p in probes)
-    KW = max(p.KW for p in probes)
+    return patches
+
+
+def merge_remap_plans(
+    maps,
+    in_h,
+    in_w,
+    force_kh=None,
+    force_kw=None,
+    force_patches=None,
+    pad_grid_nt=None,
+    pad_res=None,
+):
+    """maps: list of (map1, map2).  Picks each input's tile patch shape,
+    builds per-input plans with common (KH, KW), concatenates them into
+    one BatchedRemapPlan.
+
+    The ``force_*``/``pad_*`` arguments homogenize plans built from
+    different map sets so they can be stacked on a leading shard axis
+    for ``shard_map`` (every static field equal, every leaf the same
+    shape): ``pad_grid_nt`` pads the kernel grid with no-op steps that
+    write a scratch output slot; ``pad_res`` (per-input lengths) pads
+    the sparse residual lists with zero-weight entries."""
+    patches = force_patches or choose_patches(maps, in_h, in_w)
+    if force_kh is None or force_kw is None:
+        probes = [
+            pallas_remap_plan(m1, m2, in_h, in_w, patch=p)
+            for (m1, m2), p in zip(maps, patches)
+        ]
+        force_kh = max(p.KH for p in probes)
+        force_kw = max(p.KW for p in probes)
+    KH, KW = force_kh, force_kw
     plans = [
         pallas_remap_plan(
             m1, m2, in_h, in_w, force_kh=KH, force_kw=KW, patch=p
@@ -659,31 +685,88 @@ def merge_remap_plans(maps, in_h, in_w):
     nb = KW // TW
     rng2 = cat("rng").reshape(start, 2 * nb)
 
+    grid_nt = int(slot.shape[0])
+    nt_out = start
+    img_g = np.concatenate(img)[keep]
+    by_g = cat("by")[keep]
+    bx_g = cat("bx")[keep]
+    by2_g = cat("by2")[keep]
+    rng_g = rng2[keep]
+    per_tile = {
+        f: getattr_cat(plans, f)[keep]
+        for f in ("oy0", "oy1", "ox0", "ox1", "fx", "fy")
+    }
+    valid_g = valid[keep]
+
+    if pad_grid_nt is not None:
+        assert pad_grid_nt >= grid_nt
+        extra = pad_grid_nt - grid_nt
+        nt_out = start + 1  # scratch slot for the no-op pad steps
+
+        def padg(a, fill=0):
+            return np.concatenate(
+                [a, np.full((extra,) + a.shape[1:], fill, dtype=a.dtype)]
+            )
+
+        slot = padg(slot, fill=start)  # -> scratch
+        img_g = padg(img_g)
+        by_g = padg(by_g)
+        bx_g = padg(bx_g)
+        by2_g = padg(by2_g)
+        rng_g = padg(rng_g)  # lo == hi == 0 -> empty row loops
+        per_tile = {f: padg(a) for f, a in per_tile.items()}
+        valid_g = padg(valid_g)
+        grid_nt = pad_grid_nt
+
+    res = []
+    for i, p in enumerate(plans):
+        ro, ri, rw_ = p.res_out, p.res_idx, p.res_w
+        if pad_res is not None:
+            want = pad_res[i]
+            assert want >= ro.shape[0]
+            extra = want - ro.shape[0]
+            if extra:
+                # zero-weight entries pointing at pixel 0; the residual
+                # pass accumulates with .add, so they are no-ops
+                ro = np.concatenate([ro, np.zeros(extra, np.int32)])
+                ri = np.concatenate(
+                    [ri, np.zeros((4, extra), np.int32)], axis=1
+                )
+                rw_ = np.concatenate(
+                    [rw_, np.zeros((4, extra), np.float32)], axis=1
+                )
+        res.append((ro, ri, rw_))
+
     return BatchedRemapPlan(
         in_shape=(in_h, in_w),
         KH=KH,
         KW=KW,
         nt=start,
-        grid_nt=int(slot.shape[0]),
+        grid_nt=grid_nt,
+        nt_out=nt_out,
         out_shapes=tuple(p.out_shape for p in plans),
         tile_offsets=tuple(offs),
         patches=tuple(p.patch for p in plans),
         slot=slot,
         tmask=tmask,
-        img=np.concatenate(img)[keep],
-        by=cat("by")[keep],
-        bx=cat("bx")[keep],
-        by2=cat("by2")[keep],
-        rng=rng2[keep].reshape(-1),
-        oy0=cat("oy0")[keep],
-        oy1=cat("oy1")[keep],
-        ox0=cat("ox0")[keep],
-        ox1=cat("ox1")[keep],
-        fx=cat("fx")[keep],
-        fy=cat("fy")[keep],
-        valid=valid[keep],
-        res=tuple((p.res_out, p.res_idx, p.res_w) for p in plans),
+        img=img_g,
+        by=by_g,
+        bx=bx_g,
+        by2=by2_g,
+        rng=rng_g.reshape(-1),
+        oy0=per_tile["oy0"],
+        oy1=per_tile["oy1"],
+        ox0=per_tile["ox0"],
+        ox1=per_tile["ox1"],
+        fx=per_tile["fx"],
+        fy=per_tile["fy"],
+        valid=valid_g,
+        res=tuple(res),
     )
+
+
+def getattr_cat(plans, field):
+    return np.concatenate([getattr(p, field) for p in plans])
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -726,7 +809,7 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         in_specs=[tile_spec] * 7 + win_specs,
         out_specs=[out_spec, out_spec, out_spec],
     )
-    shape = jax.ShapeDtypeStruct((nt, TH, TW), jnp.float32)
+    shape = jax.ShapeDtypeStruct((plan.nt_out, TH, TW), jnp.float32)
     r, g, b = pl.pallas_call(
         _kernel(KH, KW, nb, batched=True),
         grid_spec=grid_spec,
@@ -749,11 +832,13 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         *([packed_stack] * (4 * nb)),
     )
     # zero the tiles the grid never visited (dropped empty tiles);
-    # where, not multiply — the unwritten slots can hold NaNs
+    # where, not multiply — the unwritten slots can hold NaNs.  The
+    # scratch slot (index nt, present when the grid was padded) is
+    # dropped by the [:nt] slice.
     tm = jnp.asarray(plan.tmask)[:, None, None] > 0
-    r = jnp.where(tm, r, 0.0)
-    g = jnp.where(tm, g, 0.0)
-    b = jnp.where(tm, b, 0.0)
+    r = jnp.where(tm, r[: plan.nt], 0.0)
+    g = jnp.where(tm, g[: plan.nt], 0.0)
+    b = jnp.where(tm, b[: plan.nt], 0.0)
 
     outs = []
     for i, (rh, rw) in enumerate(plan.out_shapes):
@@ -785,8 +870,10 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
                     ]
                 )
                 acc = acc + chans * res_w[k][None]
+            # .add, not .set: the kernel wrote 0 at residual pixels
+            # (valid=0), and zero-weight pad entries become no-ops
             out = (
-                out.reshape(3, -1).at[:, res_out].set(acc).reshape(3, rh, rw)
+                out.reshape(3, -1).at[:, res_out].add(acc).reshape(3, rh, rw)
             )
         outs.append(out)
     return tuple(outs)

@@ -1,4 +1,4 @@
-"""Multi-chip sharded stitching.
+"""Multi-chip sharded stitching — the full product on a device mesh.
 
 TPU-native scaling design (SURVEY.md §2.5/§5): a 2-D device mesh
 ``('data', 'space')`` —
@@ -14,6 +14,14 @@ TPU-native scaling design (SURVEY.md §2.5/§5): a 2-D device mesh
   than an ICI round-trip.  The only cross-chip communication is a psum
   of the tiny exposure-gain sums (one [2P] vector per frame).
 
+The per-shard compute path is the SAME one the single-chip ``Mapper``
+runs (VERDICT r1 item 3): batched Pallas remap kernel (per-shard plans
+are band slices of the full-canvas maps, homogenized so they stack on a
+leading S axis), MXU banded-matmul blend pyramids, working-grid exposure
+gains on the identical global subsample grid, overlay paste, and packed
+YUV420P output per band.  On a CPU mesh (the multichip dry-run) the
+Pallas kernel runs in interpret mode — same program, same plans.
+
 Inputs are replicated across 'space' (every chip gathers from the full
 camera frames); the per-shard gather tables, blend weights and masks are
 *sharded constants* carried on the leading S axis.
@@ -28,16 +36,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from scipy.ndimage import distance_transform_edt
 
-from ..ops.color import yuv420p_to_rgb_planar
-from ..ops.pyramid import pyr_down, pyr_up
-from ..ops.remap import remap_plan
+from ..ops.color import (
+    rgb_planar_to_yuv420p,
+    split_yuv420p,
+    up_cols_matrix,
+    yuv420p_to_rgb_planar,
+)
+from ..ops.pallas_remap import (
+    choose_patches,
+    merge_remap_plans,
+    pallas_remap_apply_batched,
+    pallas_remap_plan,
+)
+from ..ops.pyramid import down_matrix, pyr_down_mm, pyr_up_mm, up_matrix
+from ..ops.remap import pack_rgb
 from ..ops.resize import resize_bilinear
-from ..stitch.blenders import WEIGHT_EPS
+from ..stitch.blenders import WEIGHT_EPS, np_pyr_down
 from ..stitch.gain import ALPHA, BETA
+from ..stitch.mapper import WORKING_MEGAPIX
 from ..template.compiler import MapperTemplate
 from ..utils.pytree import register_plan
-from scipy.ndimage import distance_transform_edt
 
 __all__ = ["ShardedMapper", "ShardedPlan", "make_mesh"]
 
@@ -53,6 +73,7 @@ def make_mesh(n_data: int, n_space: int, devices=None):
 class ShardedPlan:
     # static geometry
     num_inputs: int
+    num_overlays: int
     S: int
     bh: int  # band height (canvas rows per shard)
     halo: int
@@ -62,36 +83,46 @@ class ShardedPlan:
     canvas_size: tuple  # true (W, H)
     blend_kind: str
     num_bands: int
+    stride: int  # working-grid stride (gains), divides bh
     N: tuple  # gain pair counts, nested tuple
     pairs: tuple
     # sharded constants, leading axis S
-    idx: object = None  # [S, ncam, 4, ext*Wp] int32
-    w: object = None  # [S, ncam, 4, ext*Wp] f32
+    remap: object = None  # BatchedRemapPlan with [S, ...] leaves
     feather_w: object = None  # [S, ncam, ext, Wp] f32
     weight_pyrs: Optional[List] = None  # per level: [S, ncam, ext>>l, Wp>>l]
     band_weights: Optional[List] = None  # per level: [S, ext>>l, Wp>>l]
-    pair_bits: object = None  # [S, bh, Wp] int32 bitmask of gain pairs
+    gm_i: object = None  # [S, P, gh, gw] f32 pair masks (image i side)
+    gm_j: object = None  # [S, P, gh, gw] f32
+    overlay_masks: object = None  # [S, nov, bh, Wp] f32
     # replicated constants
-    vignette: object = None  # [ncam, Hf, Wf] f32 (ones if unused)
+    vignette: object = None  # [ncam+nov, Hf, Wf] f32 (ones if unused)
     gain_b: object = None  # [ncam] f32
     gain_A_static: object = None  # [ncam, ncam] f32
+    chroma_up: object = None  # [Wf/2, Wf] f32 MXU chroma upsample
+    down_mats: dict = field(default_factory=dict)  # {n: [n/2, n]}
+    up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
 
 
 register_plan(
     ShardedPlan,
     children=(
-        "idx",
-        "w",
+        "remap",
         "feather_w",
         "weight_pyrs",
         "band_weights",
-        "pair_bits",
+        "gm_i",
+        "gm_j",
+        "overlay_masks",
         "vignette",
         "gain_b",
         "gain_A_static",
+        "chroma_up",
+        "down_mats",
+        "up_mats",
     ),
     static=(
         "num_inputs",
+        "num_overlays",
         "S",
         "bh",
         "halo",
@@ -101,9 +132,22 @@ register_plan(
         "canvas_size",
         "blend_kind",
         "num_bands",
+        "stride",
         "N",
         "pairs",
     ),
+)
+
+# leaves with the leading S axis (sharded over 'space'); the rest are
+# replicated
+_SPACE_FIELDS = (
+    "remap",
+    "feather_w",
+    "weight_pyrs",
+    "band_weights",
+    "gm_i",
+    "gm_j",
+    "overlay_masks",
 )
 
 
@@ -113,9 +157,9 @@ def _round_up(v, m):
 
 def _full_canvas_maps(mt: MapperTemplate, Hp, Wp):
     """Paste each input's ROI maps into padded full-canvas maps (-1 =
-    invalid)."""
+    invalid).  Includes overlay inputs after the blend inputs."""
     maps = []
-    for inp in mt.inputs:
+    for inp in mt.inputs + mt.overlay_inputs:
         m1 = np.full((Hp, Wp), -1.0, dtype=np.float32)
         m2 = np.full((Hp, Wp), -1.0, dtype=np.float32)
         x, y, w, h = inp.roi
@@ -123,6 +167,20 @@ def _full_canvas_maps(mt: MapperTemplate, Hp, Wp):
         m2[y : y + h, x : x + w] = inp.map2
         maps.append((m1, m2))
     return maps
+
+
+def _stack_remap_plans(plans):
+    """Stack homogenized per-shard BatchedRemapPlans leaf-wise onto a
+    leading S axis (statics are asserted identical)."""
+    leaves, treedef = jax.tree.flatten(plans[0])
+    for p in plans[1:]:
+        l2, td2 = jax.tree.flatten(p)
+        assert td2 == treedef, "per-shard remap plans must share statics"
+    stacked = [
+        np.stack([jax.tree.flatten(p)[0][i] for p in plans])
+        for i in range(len(leaves))
+    ]
+    return jax.tree.unflatten(treedef, stacked)
 
 
 def build_sharded_plan(
@@ -134,6 +192,7 @@ def build_sharded_plan(
 ) -> ShardedPlan:
     W, H = mt.out_size
     ncam = len(mt.inputs)
+    nov = len(mt.overlay_inputs)
     sizes = set(tuple(s) for s in in_sizes)
     assert len(sizes) == 1, "sharded path requires equal camera sizes"
     Hf, Wf = in_sizes[0]
@@ -147,9 +206,18 @@ def build_sharded_plan(
     else:
         B = 0
         kind = "none"
-    step = 1 << max(B, 1)
-    Hp = _round_up(H, n_space * step)
-    Wp = _round_up(W, step)
+
+    # working-grid stride (same pow2 selection as Mapper, mapper.py);
+    # band heights are padded so stride | bh and every shard sees the
+    # same static subsample offsets
+    working_scale = min(1.0, math.sqrt(WORKING_MEGAPIX * 1e6 / (W * H)))
+    stride = max(1, int(round(1.0 / working_scale)))
+    stride = 1 << max(0, int(round(math.log2(stride))))
+
+    step = 1 << max(B, 2)
+    align = max(step, stride, 4)  # bh % 4 == 0 for per-band YUV420
+    Hp = _round_up(H, n_space * align)
+    Wp = _round_up(W, max(step, 2))
     bh = Hp // n_space
     halo = 5 * (1 << B) if kind == "multiband" else 8
     # halo must stay a multiple of 2^B for level alignment
@@ -168,23 +236,63 @@ def build_sharded_plan(
         big = np.concatenate([pad, arr, pad], axis=0)
         return big[top + h_l : top + h_l + bh_l + 2 * h_l]
 
-    # ---- remap gather tables per shard
-    idx_all, w_all = [], []
-    for s in range(S):
-        idx_cam, w_cam = [], []
-        for (m1, m2) in maps:
-            b1 = band_slice(m1, s, pad_value=-1.0)
-            b2 = band_slice(m2, s, pad_value=-1.0)
-            rp = remap_plan(b1, b2, Hf, Wf)
-            idx_cam.append(rp.idx)
-            w_cam.append(rp.w)
-        idx_all.append(np.stack(idx_cam))
-        w_all.append(np.stack(w_cam))
-    idx_arr = np.stack(idx_all)  # [S, ncam, 4, ext*Wp]
-    w_arr = np.stack(w_all)
+    # ---- batched Pallas remap plans, one per shard, homogenized
+    band_maps = [
+        [
+            (band_slice(m1, s, pad_value=-1.0), band_slice(m2, s, pad_value=-1.0))
+            for (m1, m2) in maps
+        ]
+        for s in range(S)
+    ]
+    # common patch per input: cheapest summed over shards
+    from ..ops.pallas_remap import PATCH_CANDIDATES, _patch_row_cost
+
+    patches = []
+    for i in range(len(maps)):
+        costs = [
+            sum(
+                _patch_row_cost(bm[i][0], bm[i][1], Hf, Wf, p)
+                for bm in band_maps
+            )
+            for p in PATCH_CANDIDATES
+        ]
+        patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
+    # common (KH, KW): max of per-shard probes
+    KH = KW = 0
+    for bm in band_maps:
+        for (m1, m2), p in zip(bm, patches):
+            probe = pallas_remap_plan(m1, m2, Hf, Wf, patch=p)
+            KH = max(KH, probe.KH)
+            KW = max(KW, probe.KW)
+    shard_plans = [
+        merge_remap_plans(
+            bm, Hf, Wf, force_kh=KH, force_kw=KW, force_patches=patches
+        )
+        for bm in band_maps
+    ]
+    pad_grid = max(p.grid_nt for p in shard_plans)
+    pad_res = [
+        max(p.res[i][0].shape[0] for p in shard_plans)
+        for i in range(len(maps))
+    ]
+    shard_plans = [
+        merge_remap_plans(
+            bm,
+            Hf,
+            Wf,
+            force_kh=KH,
+            force_kw=KW,
+            force_patches=patches,
+            pad_grid_nt=pad_grid,
+            pad_res=pad_res,
+        )
+        for bm in band_maps
+    ]
+    remap = _stack_remap_plans(shard_plans)
 
     plan = ShardedPlan(
         num_inputs=ncam,
+        num_overlays=nov,
         S=S,
         bh=bh,
         halo=halo,
@@ -194,10 +302,10 @@ def build_sharded_plan(
         canvas_size=(W, H),
         blend_kind=kind,
         num_bands=B,
+        stride=stride,
         N=(),
         pairs=(),
-        idx=idx_arr,
-        w=w_arr,
+        remap=remap,
     )
 
     # ---- full-canvas masks (u8) per input
@@ -229,7 +337,6 @@ def build_sharded_plan(
             x, y, w_, h_ = inp.roi
             fs[y : y + h_, x : x + w_] = sm.astype(np.float32) / 255.0
             full_seams.append(fs)
-        from ..stitch.blenders import np_pyr_down
 
         pyrs = []  # [ncam][level] full-canvas weight pyramids
         for fs in full_seams:
@@ -252,42 +359,73 @@ def build_sharded_plan(
         ]
         plan.band_weights = [
             np.stack([band_slice(bw[l], s, level=l) for s in range(S)])
-            # guard: padded halo rows outside the canvas have weight 0 ->
-            # they were initialized with eps inside the canvas only
             for l in range(B + 1)
         ]
         for l in range(B + 1):
             plan.band_weights[l] = np.maximum(plan.band_weights[l], WEIGHT_EPS)
+        # MXU banded matrices for every axis length the blend touches
+        down_mats, up_mats = {}, {}
+        lengths = set()
+        for l in range(B + 1):
+            lengths.add(ext >> l)
+            lengths.add(Wp >> l)
+        for nl in lengths:
+            if nl >= 2:
+                down_mats[nl] = down_matrix(nl)
+                up_mats[nl >> 1] = up_matrix(nl >> 1)
+        plan.down_mats = down_mats
+        plan.up_mats = up_mats
 
-    # ---- gain constants (full-resolution band sums, psum over 'space')
+    # ---- gain constants on the global working grid (exact Mapper
+    # parity: same stride, same subsample origin, psum over 'space')
     if enable_gain and ncam > 1:
+        assert bh % stride == 0
+        work = [fm[::stride, ::stride] > 0 for fm in full_masks]
+        gh_total, gw = work[0].shape
+        gh = bh // stride  # work rows per shard
         pairs = []
         N = np.zeros((ncam, ncam), dtype=np.int64)
-        bits = np.zeros((Hp, Wp), dtype=np.int32)
+        gm_i, gm_j = [], []
         for i in range(ncam):
-            N[i, i] = max(1, int(np.count_nonzero(full_masks[i])))
-        p = 0
+            N[i, i] = max(1, int(np.count_nonzero(work[i])))
         for i in range(ncam):
             for j in range(i + 1, ncam):
-                inter = (full_masks[i] > 0) & (full_masks[j] > 0)
+                inter = work[i] & work[j]
                 cnt = int(inter.sum())
                 N[i, j] = N[j, i] = max(1, cnt)
                 if cnt:
-                    assert p < 31
-                    bits |= inter.astype(np.int32) << p
                     pairs.append((i, j))
-                    p += 1
+                    gm_i.append(inter.astype(np.float32))
+                    gm_j.append(inter.astype(np.float32))
         plan.N = tuple(tuple(int(v) for v in row) for row in N)
         plan.pairs = tuple(pairs)
-        plan.pair_bits = np.stack(
-            [band_slice(bits, s)[halo : halo + bh] for s in range(S)]
-        )
+        if pairs:
+            stack = np.stack(gm_i)  # [P, gh_total, gw]
+            plan.gm_i = np.stack(
+                [stack[:, s * gh : (s + 1) * gh] for s in range(S)]
+            )
+            plan.gm_j = plan.gm_i
         plan.gain_b = (BETA * N.sum(axis=1)).astype(np.float32)
         plan.gain_A_static = np.diag(BETA * N.sum(axis=1)).astype(np.float32)
 
-    # ---- vignette (replicated)
+    # ---- overlay paste masks (interior rows only)
+    if nov:
+        oms = []
+        for inp in mt.overlay_inputs:
+            fm = np.zeros((Hp, Wp), dtype=np.float32)
+            x, y, w_, h_ = inp.roi
+            fm[y : y + h_, x : x + w_] = (inp.mask > 0).astype(np.float32)
+            oms.append(fm)
+        plan.overlay_masks = np.stack(
+            [
+                np.stack([band_slice(om, s)[halo : halo + bh] for om in oms])
+                for s in range(S)
+            ]
+        )
+
+    # ---- vignette (replicated; ones where unused)
     vigs = []
-    for inp in mt.inputs:
+    for inp in mt.inputs + mt.overlay_inputs:
         if inp.vignette is not None:
             vigs.append(
                 np.asarray(resize_bilinear(inp.vignette, Hf, Wf)).astype(
@@ -297,6 +435,7 @@ def build_sharded_plan(
         else:
             vigs.append(np.ones((Hf, Wf), dtype=np.float32))
     plan.vignette = np.stack(vigs)
+    plan.chroma_up = up_cols_matrix(Wf // 2)
 
     return plan
 
@@ -304,48 +443,44 @@ def build_sharded_plan(
 # ------------------------------------------------------------------ forward
 
 
-def _stitch_band(plan: ShardedPlan, frames):
-    """One frame set on one shard.  frames: [ncam, Hf*3/2, Wf] u8.
-    Returns the RGB band interior [3, bh, Wp] f32."""
+def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
+    """One frame set on one shard.  frames: [ncam+nov, Hf*3/2, Wf] u8.
+    Returns (band output, gains):
+
+    * ``out_format="yuv420p"``: packed YUV420P of the band interior,
+      u8 [bh*3/2, Wp]
+    * ``out_format="rgb"``: f32 [3, bh, Wp]
+    """
     ncam = plan.num_inputs
+    ntotal = ncam + plan.num_overlays
     ext, Wp, halo, bh = plan.ext, plan.Wp, plan.halo, plan.bh
 
     packed = []
-    for i in range(ncam):
-        rgb = yuv420p_to_rgb_planar(frames[i])
+    for i in range(ntotal):
+        rgb = yuv420p_to_rgb_planar(frames[i], up_cols=plan.chroma_up)
         rgb = jnp.clip(rgb * plan.vignette[i][None], 0.0, 255.0)
-        q = jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.int32)
-        packed.append((q[0] | (q[1] << 8) | (q[2] << 16)).reshape(-1))
+        packed.append(pack_rgb(rgb).reshape(rgb.shape[1], rgb.shape[2]))
 
-    warped = []
-    for i in range(ncam):
-        out = jnp.zeros((3, ext * Wp), dtype=jnp.float32)
-        for k in range(4):
-            g = jnp.take(packed[i], plan.idx[i, k])
-            chans = jnp.stack(
-                [
-                    (g & 0xFF).astype(jnp.float32),
-                    ((g >> 8) & 0xFF).astype(jnp.float32),
-                    ((g >> 16) & 0xFF).astype(jnp.float32),
-                ]
-            )
-            out = out + chans * plan.w[i, k][None]
-        warped.append(out.reshape(3, ext, Wp))
+    warped = list(
+        pallas_remap_apply_batched(
+            jnp.stack(packed), plan.remap, interpret=interpret
+        )
+    )  # per input [3, ext, Wp]
 
-    # exposure gains: band-interior sums, psum'd across 'space'
-    if plan.pair_bits is not None and plan.pairs:
-        P_n = len(plan.pairs)
+    # exposure gains: working-grid sums (identical global grid to the
+    # single-chip Mapper: rows s*bh + k*stride == band-local halo +
+    # k*stride), psum'd across 'space'
+    gains = jnp.ones((ncam,), dtype=jnp.float32)
+    if plan.gm_i is not None and plan.pairs:
+        st = plan.stride
+        norms = []
+        for i in range(ncam):
+            wimg = warped[i][:, halo : halo + bh : st, ::st]
+            norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
         sums = []
         for p, (i, j) in enumerate(plan.pairs):
-            bit = ((plan.pair_bits >> p) & 1).astype(jnp.float32)
-            ni = jnp.sqrt(
-                jnp.sum(warped[i][:, halo : halo + bh] ** 2, axis=0)
-            )
-            nj = jnp.sqrt(
-                jnp.sum(warped[j][:, halo : halo + bh] ** 2, axis=0)
-            )
-            sums.append(jnp.sum(ni * bit))
-            sums.append(jnp.sum(nj * bit))
+            sums.append(jnp.sum(norms[i] * plan.gm_i[p]))
+            sums.append(jnp.sum(norms[j] * plan.gm_j[p]))
         sums = jax.lax.psum(jnp.stack(sums), "space")
         n = ncam
         I = jnp.zeros((n, n), dtype=jnp.float32)
@@ -362,41 +497,74 @@ def _stitch_band(plan: ShardedPlan, frames):
             - 2.0 * ALPHA * I * I.T * Nf * off
         )
         gains = jnp.linalg.solve(A, plan.gain_b)
-        warped = [wd * gains[i] for i, wd in enumerate(warped)]
+        warped[:ncam] = [wd * gains[i] for i, wd in enumerate(warped[:ncam])]
 
+    blend_imgs = warped[:ncam]
     if plan.blend_kind == "feather":
         band = sum(
-            wd * plan.feather_w[i][None] for i, wd in enumerate(warped)
+            wd * plan.feather_w[i][None] for i, wd in enumerate(blend_imgs)
         )
     elif plan.blend_kind == "multiband":
         B = plan.num_bands
+
+        def down(z):
+            _, hh, ww = z.shape
+            if hh in plan.down_mats and ww in plan.down_mats:
+                return pyr_down_mm(z, plan.down_mats[hh], plan.down_mats[ww])
+            from ..ops.pyramid import pyr_down
+
+            return pyr_down(z)
+
+        def up(z):
+            _, hh, ww = z.shape
+            if hh in plan.up_mats and ww in plan.up_mats:
+                return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww])
+            from ..ops.pyramid import pyr_up
+
+            return pyr_up(z)
+
         dst = [
             jnp.zeros((3, ext >> l, Wp >> l), dtype=jnp.float32)
             for l in range(B + 1)
         ]
-        for i, wd in enumerate(warped):
+        for i, wd in enumerate(blend_imgs):
             gauss = [wd]
             for _ in range(B):
-                gauss.append(pyr_down(gauss[-1]))
+                gauss.append(down(gauss[-1]))
             for l in range(B + 1):
-                lap = gauss[l] - pyr_up(gauss[l + 1]) if l < B else gauss[B]
+                lap = gauss[l] - up(gauss[l + 1]) if l < B else gauss[B]
                 dst[l] = dst[l] + lap * plan.weight_pyrs[l][i][None]
         for l in range(B + 1):
             dst[l] = dst[l] / plan.band_weights[l][None]
         band = dst[B]
         for l in range(B - 1, -1, -1):
-            band = pyr_up(band) + dst[l]
+            band = up(band) + dst[l]
     else:
         total = sum(
-            (wd != 0).any(axis=0).astype(jnp.float32) for wd in warped
+            (wd != 0).any(axis=0).astype(jnp.float32) for wd in blend_imgs
         )
-        band = sum(warped) / jnp.maximum(total, 1.0)
+        band = sum(blend_imgs) / jnp.maximum(total, 1.0)
 
-    return jnp.clip(band[:, halo : halo + bh], 0.0, 255.0)
+    interior = band[:, halo : halo + bh]
+
+    # overlay paste (mapper.cpp:279-282 semantics)
+    for k in range(plan.num_overlays):
+        ov = warped[ncam + k][:, halo : halo + bh]
+        m = plan.overlay_masks[k][None]
+        interior = interior * (1.0 - m) + ov * m
+
+    interior = jnp.clip(interior, 0.0, 255.0)
+    if out_format == "rgb":
+        return interior, gains
+    return rgb_planar_to_yuv420p(interior), gains
 
 
 class ShardedMapper:
-    """Stitch batches of frame sets over a ('data', 'space') mesh."""
+    """Stitch batches of frame sets over a ('data', 'space') mesh.
+
+    Same product as the single-chip ``Mapper``: Pallas batched remap
+    (interpret mode on CPU meshes), gains, multiband/feather blend,
+    overlays, YUV420P output."""
 
     def __init__(
         self,
@@ -405,34 +573,50 @@ class ShardedMapper:
         mesh: Mesh,
         blend: int = 128,
         enable_gain: bool = True,
+        out_format: str = "yuv420p",
     ):
+        assert out_format in ("yuv420p", "rgb")
         self.mesh = mesh
+        self.out_format = out_format
         S = mesh.shape["space"]
         self.plan = build_sharded_plan(
             mt, in_sizes, S, blend=blend, enable_gain=enable_gain
         )
-        plan_sharding = jax.tree.map(
-            lambda _: NamedSharding(mesh, P("space")), self.plan
+        interpret = jax.devices()[0].platform != "tpu"
+
+        # per-leaf specs: S-leading leaves shard over 'space', the rest
+        # replicate
+        sharded_leaves = set()
+        for f in _SPACE_FIELDS:
+            v = getattr(self.plan, f)
+            if v is not None:
+                for leaf in jax.tree.leaves(v):
+                    sharded_leaves.add(id(leaf))
+
+        def leaf_spec(leaf):
+            return P("space") if id(leaf) in sharded_leaves else P()
+
+        plan_specs = jax.tree.map(leaf_spec, self.plan)
+        self._plan_dev = jax.device_put(
+            self.plan,
+            jax.tree.map(
+                lambda spec: NamedSharding(mesh, spec), plan_specs
+            ),
         )
-        # replicated leaves get overridden
-        repl = NamedSharding(mesh, P())
-        plan_sharding.vignette = repl
-        plan_sharding.gain_b = repl
-        plan_sharding.gain_A_static = repl
-        self._plan_dev = jax.device_put(self.plan, plan_sharding)
 
         from jax import shard_map
 
-        plan_specs = jax.tree.map(lambda _: P("space"), self.plan)
-        plan_specs.vignette = P()
-        plan_specs.gain_b = P()
-        plan_specs.gain_A_static = P()
+        out_spec = (
+            P("data", "space", None)
+            if out_format == "yuv420p"
+            else P("data", None, "space", None)
+        )
 
         @partial(
             shard_map,
             mesh=mesh,
             in_specs=(plan_specs, P("data")),
-            out_specs=P("data", None, "space", None),
+            out_specs=(out_spec, P("data", None)),
             check_vma=False,
         )
         def step(plan_local, frames_local):
@@ -442,15 +626,45 @@ class ShardedMapper:
                 plan_local,
                 plan_specs,
             )
-            return jax.vmap(lambda fr: _stitch_band(plan_sq, fr))(
-                frames_local
-            )
+            # static unroll over the (small) per-device batch — vmap over
+            # a scalar-prefetch pallas_call is not supported
+            outs, gains = [], []
+            for b in range(frames_local.shape[0]):
+                o, g = _stitch_band(
+                    plan_sq, frames_local[b], interpret, out_format
+                )
+                outs.append(o)
+                gains.append(g)
+            return jnp.stack(outs), jnp.stack(gains)
 
         self._step = jax.jit(step)
 
     def stitch_batch(self, frames):
-        """frames: [B, ncam, Hf*3/2, Wf] u8 (B divisible by mesh 'data').
-        Returns RGB canvas [B, 3, Hp, Wp] f32 sharded over (data, space)."""
+        """frames: [B, ncam(+nov), Hf*3/2, Wf] u8 (B divisible by mesh
+        'data').  Returns (out, gains):
+
+        * yuv420p: u8 [B, S*bh*3/2, Wp] — per-band packed YUV420P
+          buffers stacked along rows, sharded (data, space); pass
+          through :meth:`assemble_yuv` for the canonical [H*3/2, W]
+          canvas.
+        * rgb: f32 [B, 3, Hp, Wp] sharded (data, space on H).
+        """
         return self._step(self._plan_dev, jnp.asarray(frames))
 
-
+    def assemble_yuv(self, out_b):
+        """Reassemble one frame's per-band YUV420P stack
+        ([S*bh*3/2, Wp]) into the canonical packed [H*3/2, W] buffer."""
+        W, H = self.plan.canvas_size
+        S, bh, Wp = self.plan.S, self.plan.bh, self.plan.Wp
+        bands = np.asarray(out_b).reshape(S, bh * 3 // 2, Wp)
+        ys, us, vs = [], [], []
+        for s in range(S):
+            y, u, v = split_yuv420p(bands[s])
+            ys.append(np.asarray(y))
+            us.append(np.asarray(u))
+            vs.append(np.asarray(v))
+        y = np.concatenate(ys)[:H, :W]
+        u = np.concatenate(us)[: H // 2, : W // 2]
+        v = np.concatenate(vs)[: H // 2, : W // 2]
+        bottom = np.concatenate([u, v], axis=1)
+        return np.concatenate([y, bottom], axis=0)

@@ -41,7 +41,13 @@ class AsyncMultiMapper:
     output, -1 = no compensation, own-index = solve, other-index = reuse
     that output's gains."""
 
-    def __init__(self, mappers: List, gain_modes: Optional[List[int]] = None):
+    def __init__(
+        self,
+        mappers: List,
+        gain_modes: Optional[List[int]] = None,
+        timers: bool = False,
+        timer_interval: int = 10,
+    ):
         import jax
 
         self._jax = jax
@@ -56,6 +62,12 @@ class AsyncMultiMapper:
         self._flight_q = queue.Queue(maxsize=BUF_SIZE)
         self._out_q = queue.Queue(maxsize=BUF_SIZE)
         self.fps = FpsMeter()
+        # per-stage phase timers, the mapper.cpp:206-318 / timer.cpp role:
+        # host-side ms per stage, printed every timer_interval frames
+        self._timers_on = timers
+        self._timer_interval = max(1, timer_interval)
+        self._stage_ms = {"upload": 0.0, "dispatch": 0.0, "drain": 0.0}
+        self._stage_n = 0
         self._threads = [
             threading.Thread(target=self._run_stitch, daemon=True),
             threading.Thread(target=self._run_drain, daemon=True),
@@ -66,13 +78,18 @@ class AsyncMultiMapper:
     # ----------------------------------------------------------- stages
 
     def _run_stitch(self):
+        import time
+
         jax = self._jax
         while True:
             item = self._in_q.get()
             if isinstance(item, _Stop):
                 self._flight_q.put(_STOP)
                 return
+            t0 = time.perf_counter()
             frames = [jax.device_put(f) for f in item]
+            jax.block_until_ready(frames)  # H2D boundary (async.cpp:58)
+            t1 = time.perf_counter()
             outs = [None] * len(self.mappers)
             gains = [None] * len(self.mappers)
             # solve owners first, then gain-copiers (async.cpp:75-91)
@@ -88,15 +105,33 @@ class AsyncMultiMapper:
                     out, g = self.mappers[k].stitch(frames, gains=gains[mode])
                 outs[k] = out
                 gains[k] = g
+            t2 = time.perf_counter()
+            self._stage_ms["upload"] += (t1 - t0) * 1e3
+            self._stage_ms["dispatch"] += (t2 - t1) * 1e3
             self._flight_q.put(outs)
 
     def _run_drain(self):
+        import sys
+        import time
+
         while True:
             item = self._flight_q.get()
             if isinstance(item, _Stop):
                 self._out_q.put(_STOP)
                 return
+            t0 = time.perf_counter()
             host = [np.asarray(o) for o in item]  # blocks until ready
+            self._stage_ms["drain"] += (time.perf_counter() - t0) * 1e3
+            self._stage_n += 1
+            if self._timers_on and self._stage_n % self._timer_interval == 0:
+                k = self._timer_interval
+                for stage in ("upload", "dispatch", "drain"):
+                    print(
+                        f"[Timer stitch] {stage}: "
+                        f"{self._stage_ms[stage] / k:.2f} ms",
+                        file=sys.stderr,
+                    )
+                    self._stage_ms[stage] = 0.0
             self.fps.tick()
             self._out_q.put(host)
 

@@ -145,8 +145,13 @@ class Mapper:
 
         working_scale = min(1.0, math.sqrt(WORKING_MEGAPIX * 1e6 / (W * H)))
         # integer canvas stride realizing the working scale: every image
-        # samples the same global canvas grid, so overlaps line up
+        # samples the same global canvas grid, so overlaps line up.
+        # Rounded to the nearest power of two so the grid also aligns
+        # with the spatially-sharded path's row bands (band heights are
+        # 2^bands multiples; a pow2 stride divides them evenly and every
+        # shard sees the same static subsample offsets).
         stride = max(1, int(round(1.0 / working_scale)))
+        stride = 1 << max(0, int(round(math.log2(stride))))
 
         work_masks, work_rois = [], []
         for idx, inp in enumerate(mt.inputs + mt.overlay_inputs):

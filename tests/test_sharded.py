@@ -1,10 +1,17 @@
-"""Sharded (multi-device mesh) stitch vs single-chip parity."""
+"""Sharded (multi-device mesh) stitch vs single-chip parity.
+
+The sharded path must be the SAME product as the single-chip Mapper
+(VERDICT r1 item 3): batched Pallas remap (interpret mode on the CPU
+mesh), working-grid gains on the identical global subsample grid,
+multiband/feather blend, YUV420P output."""
 
 import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
+from octvr_tpu.ops.color import merge_yuv420p, split_yuv420p, yuv420p_to_rgb
 from octvr_tpu.parallel.sharded import ShardedMapper, make_mesh
 from octvr_tpu.stitch import Mapper
 from octvr_tpu.template import compile_rig
@@ -32,44 +39,40 @@ def test_sharded_matches_single_chip(setup, blend):
     mesh = make_mesh(2, 4)
 
     single = Mapper(mt, sizes, blend=blend, enable_gain=True)
-    out_s, gains = single.stitch(frames)
+    out_s, gains_s = single.stitch(frames)
 
     sharded = ShardedMapper(mt, sizes, mesh, blend=blend, enable_gain=True)
     batch = np.stack([np.stack(frames)] * 2)
-    out_m = np.asarray(sharded.stitch_batch(batch))  # [2, 3, Hp, Wp]
+    out_m, gains_m = sharded.stitch_batch(batch)
+    out_m = np.asarray(out_m)
 
-    # compare RGB canvases (single-chip converts to YUV; reconvert)
-    from octvr_tpu.ops.color import yuv420p_to_rgb
-    import jax.numpy as jnp
+    # gains: identical working grid -> near-exact agreement
+    np.testing.assert_allclose(
+        np.asarray(gains_m)[0], np.asarray(gains_s), rtol=2e-3
+    )
+
+    yuv = sharded.assemble_yuv(out_m[0])
+    assert yuv.shape == np.asarray(out_s).shape
 
     rgb_single = np.asarray(yuv420p_to_rgb(jnp.asarray(np.asarray(out_s))))
-    W, H = mt.out_size
-    rgb_shard = np.moveaxis(out_m[0][:, :H, :W], 0, -1)
+    rgb_shard = np.asarray(yuv420p_to_rgb(jnp.asarray(yuv)))
 
     err = np.abs(rgb_shard - rgb_single)
-    # YUV420 roundtrip on the single-chip side costs ~1-2 LSB; the canvas
-    # top/bottom rows differ in pyramid border handling (zero-pad vs
-    # aligned-ROI edge) -- compare the interior strictly
-    assert err.mean() < 3.0, f"mean err {err.mean()}"
-    interior = err[12:-12]
-    assert interior.mean() < 2.0, f"interior mean {interior.mean()}"
-    assert np.percentile(interior, 99.5) < 20.0
+    # remap + gains are bit-comparable; the blend differs only in
+    # boundary handling (full-width bands vs aligned ROIs), confined to
+    # the canvas frame rows/cols
+    assert err.mean() < 1.0, f"mean err {err.mean()}"
+    interior = err[8:-8, 8:-8]
+    assert interior.mean() < 0.5, f"interior mean {interior.mean()}"
 
     # both batch elements identical (same frames)
-    np.testing.assert_allclose(out_m[0], out_m[1], atol=1e-4)
+    np.testing.assert_array_equal(out_m[0], out_m[1])
 
 
-def test_sharded_gain_psum(setup):
-    """Gains from the sharded path (full-res psum'd sums) agree with the
-    single-chip working-scale gains to a few percent."""
+def test_sharded_gain_effect(setup):
+    """Darkened camera gets boosted; sharded gains match single-chip."""
     rig, mt, sizes, frames = setup
     mesh = make_mesh(1, 8)
-    frames_dim = [
-        np.asarray(f, dtype=np.float32) for f in frames
-    ]
-    # darken camera 1
-    from octvr_tpu.ops.color import split_yuv420p, merge_yuv420p
-    import jax.numpy as jnp
 
     y, u, v = split_yuv420p(jnp.asarray(frames[1]))
     dark = np.asarray(merge_yuv420p((y * 0.7).astype(jnp.uint8), u, v))
@@ -78,16 +81,19 @@ def test_sharded_gain_psum(setup):
     single = Mapper(mt, sizes, blend=-8, enable_gain=True)
     _, g_single = single.stitch(test_frames)
 
-    sharded = ShardedMapper(mt, sizes, mesh, blend=-8, enable_gain=True)
-    out = sharded.stitch_batch(np.stack([np.stack(test_frames)]))
-    out.block_until_ready()
-    # gains are internal to the sharded step; assert the *effect*: the two
-    # cameras' regions match in brightness despite the darkened input
+    sharded = ShardedMapper(
+        mt, sizes, mesh, blend=-8, enable_gain=True, out_format="rgb"
+    )
+    out, g_sharded = sharded.stitch_batch(np.stack([np.stack(test_frames)]))
+    g_single = np.asarray(g_single)
+    g_sharded = np.asarray(g_sharded)[0]
+
+    assert g_single[1] > g_single[0]  # dark camera boosted
+    np.testing.assert_allclose(g_sharded, g_single, rtol=2e-3)
+
+    # rgb out_format: full canvas [B, 3, Hp, Wp]
     W, H = mt.out_size
     rgb = np.asarray(out)[0][:, :H, :W]
     cam0 = rgb[:, H // 4 : -H // 4, W // 2 - 16 : W // 2 + 16].mean()
     cam1 = rgb[:, H // 4 : -H // 4, :16].mean()
-    g = np.asarray(g_single)
-    assert g[1] > g[0]  # single-chip boosts the dark camera
-    # sharded output ratio must be closer to 1 than the uncorrected 0.7
     assert cam1 / cam0 > 0.75
