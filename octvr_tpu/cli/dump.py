@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from . import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("-w", type=int, default=0, dest="width")
     ap.add_argument("-h", type=int, default=0, dest="height")
@@ -28,6 +31,13 @@ def main(argv=None):
     ap.add_argument("-d", default=None, dest="debug_dir")
     ap.add_argument("-c", action="store_true", dest="control_points")
     ap.add_argument("-n", action="store_false", dest="use_roi")
+    ap.add_argument(
+        "--seam",
+        default="auto",
+        choices=["auto", "distance", "dp", "dp_grad", "graphcut", "graphcut_grad"],
+        help="seam finder; *_grad = COST_COLOR_GRAD "
+        "(seam_finders.cpp:1283-1335); dp/graphcut need input images",
+    )
     ap.add_argument("--help", action="help")
     ap.add_argument("config")
     ap.add_argument("images", nargs="*")
@@ -66,7 +76,7 @@ def main(argv=None):
         morph_control_points(mt, rig["control_points"])
 
     imgs = [read_png(p) for p in args.images] if args.images else None
-    mt.create_masks(imgs)
+    mt.create_masks(imgs, seam=args.seam)
 
     if args.outfile.endswith(".npz"):
         save_npz(mt, args.outfile)

@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from . import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--inputs", required=True, help="comma-separated paths")
     ap.add_argument("--in_size", required=True, help="WxH of every input")

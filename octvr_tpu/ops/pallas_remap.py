@@ -326,6 +326,11 @@ def _kernel(KH, KW, nb, batched=False):
     weights fold into one per-row weight, so each visited row costs two
     lane gathers and one accumulate."""
 
+    # rows consumed per fori_loop iteration: the loop carry is a serial
+    # dependency chain, so wall time tracks iteration count — fatter
+    # bodies amortize the latency (see docs/kernel-notes.md)
+    CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
+
     def kern(*args):
         ns = 6 if batched else 4
         if batched:
@@ -366,21 +371,21 @@ def _kernel(KH, KW, nb, batched=False):
                 base = h * KH
 
                 # Chunked row fan: the fori_loop carry chain is
-                # latency-bound, so each iteration consumes EIGHT window
-                # rows (one (8, TW) chunk read, body unrolled) — extra
+                # latency-bound, so each iteration consumes CHUNK window
+                # rows (one (CHUNK, TW) read, body unrolled) — extra
                 # rows at the chunk edges get zero weight and cost only
                 # ALU slack that was idle anyway.
                 def body(c, accs, win=win, base=base, a0=a0, a1=a1):
                     ar, ag, ab = accs
                     if batched:
-                        rowc = win[0, pl.ds(c * TH, TH), :]
+                        rowc = win[0, pl.ds(c * CHUNK, CHUNK), :]
                     else:
-                        rowc = win[pl.ds(c * TH, TH), :]
-                    for r in range(TH):
+                        rowc = win[pl.ds(c * CHUNK, CHUNK), :]
+                    for r in range(CHUNK):
                         rep = jnp.broadcast_to(rowc[r : r + 1, :], (TH, TW))
                         s0 = jnp.take_along_axis(rep, l0, axis=1)
                         s1 = jnp.take_along_axis(rep, l1, axis=1)
-                        k = c * TH + r + base
+                        k = c * CHUNK + r + base
                         wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
                             oy1v == k, wy1, 0.0
                         )
@@ -407,16 +412,20 @@ def _kernel(KH, KW, nb, batched=False):
                 lo_h = jnp.maximum(lo_b, base) - base
                 hi_h = jnp.minimum(hi_b, base + KH) - base
                 accs = jax.lax.fori_loop(
-                    lo_h // TH,
-                    (hi_h + TH - 1) // TH,
+                    lo_h // CHUNK,
+                    (hi_h + CHUNK - 1) // CHUNK,
                     body,
                     accs,
                 )
 
         vv = valid[0]
-        out_r[0] = accs[0] * vv
-        out_g[0] = accs[1] * vv
-        out_b[0] = accs[2] * vv
+        # accumulation is f32; the store casts to the output ref dtype
+        # (bf16 outputs feed the bf16 blend path with no XLA convert on
+        # the huge untile product — the convert placement faulted the
+        # TPU in round 1, BENCH_r01.json)
+        out_r[0] = (accs[0] * vv).astype(out_r.dtype)
+        out_g[0] = (accs[1] * vv).astype(out_g.dtype)
+        out_b[0] = (accs[2] * vv).astype(out_b.dtype)
 
     return kern
 
@@ -769,10 +778,13 @@ def getattr_cat(plans, field):
     return np.concatenate([getattr(p, field) for p in plans])
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=False):
-    """packed_stack: int32 [N, H, W].  Returns tuple of f32 [3, rh, rw]
-    per input."""
+@partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def pallas_remap_apply_batched(
+    packed_stack, plan: BatchedRemapPlan, interpret=False, out_dtype="float32"
+):
+    """packed_stack: int32 [N, H, W].  Returns tuple of [3, rh, rw] per
+    input in ``out_dtype`` ("float32" or "bfloat16"; accumulation is
+    always f32 in-kernel, only the store is cast)."""
     in_h, in_w = plan.in_shape
     KH, KW, nt = plan.KH, plan.KW, plan.nt
     nb = KW // TW
@@ -809,7 +821,8 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
         in_specs=[tile_spec] * 7 + win_specs,
         out_specs=[out_spec, out_spec, out_spec],
     )
-    shape = jax.ShapeDtypeStruct((plan.nt_out, TH, TW), jnp.float32)
+    odt = jnp.dtype(out_dtype)
+    shape = jax.ShapeDtypeStruct((plan.nt_out, TH, TW), odt)
     r, g, b = pl.pallas_call(
         _kernel(KH, KW, nb, batched=True),
         grid_spec=grid_spec,
@@ -835,10 +848,11 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
     # where, not multiply — the unwritten slots can hold NaNs.  The
     # scratch slot (index nt, present when the grid was padded) is
     # dropped by the [:nt] slice.
+    zero = jnp.zeros((), dtype=odt)
     tm = jnp.asarray(plan.tmask)[:, None, None] > 0
-    r = jnp.where(tm, r[: plan.nt], 0.0)
-    g = jnp.where(tm, g[: plan.nt], 0.0)
-    b = jnp.where(tm, b[: plan.nt], 0.0)
+    r = jnp.where(tm, r[: plan.nt], zero)
+    g = jnp.where(tm, g[: plan.nt], zero)
+    b = jnp.where(tm, b[: plan.nt], zero)
 
     outs = []
     for i, (rh, rw) in enumerate(plan.out_shapes):
@@ -873,7 +887,10 @@ def pallas_remap_apply_batched(packed_stack, plan: BatchedRemapPlan, interpret=F
             # .add, not .set: the kernel wrote 0 at residual pixels
             # (valid=0), and zero-weight pad entries become no-ops
             out = (
-                out.reshape(3, -1).at[:, res_out].add(acc).reshape(3, rh, rw)
+                out.reshape(3, -1)
+                .at[:, res_out]
+                .add(acc.astype(odt))
+                .reshape(3, rh, rw)
             )
         outs.append(out)
     return tuple(outs)

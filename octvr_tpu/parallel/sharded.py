@@ -217,7 +217,7 @@ def build_sharded_plan(
     step = 1 << max(B, 2)
     align = max(step, stride, 4)  # bh % 4 == 0 for per-band YUV420
     Hp = _round_up(H, n_space * align)
-    Wp = _round_up(W, max(step, 2))
+    Wp = _round_up(W, max(step, stride, 2))
     bh = Hp // n_space
     halo = 5 * (1 << B) if kind == "multiband" else 8
     # halo must stay a multiple of 2^B for level alignment
@@ -379,8 +379,16 @@ def build_sharded_plan(
     # ---- gain constants on the global working grid (exact Mapper
     # parity: same stride, same subsample origin, psum over 'space')
     if enable_gain and ncam > 1:
-        assert bh % stride == 0
-        work = [fm[::stride, ::stride] > 0 for fm in full_masks]
+        assert bh % stride == 0 and Wp % stride == 0
+        # block-pooled masks (full coverage only), matching the Mapper's
+        # box-mean working grid
+        work = []
+        for fm in full_masks:
+            mb = (fm > 0).astype(np.float32)
+            pooled = mb.reshape(
+                Hp // stride, stride, Wp // stride, stride
+            ).mean(axis=(1, 3))
+            work.append(pooled > 0.999)
         gh_total, gw = work[0].shape
         gh = bh // stride  # work rows per shard
         pairs = []
@@ -467,15 +475,19 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         )
     )  # per input [3, ext, Wp]
 
-    # exposure gains: working-grid sums (identical global grid to the
-    # single-chip Mapper: rows s*bh + k*stride == band-local halo +
-    # k*stride), psum'd across 'space'
+    # exposure gains: working-grid box means (identical global block
+    # grid to the single-chip Mapper: band rows start at s*bh, a stride
+    # multiple), psum'd across 'space'
     gains = jnp.ones((ncam,), dtype=jnp.float32)
     if plan.gm_i is not None and plan.pairs:
+        from ..stitch.mapper import _pool_pow2
+
         st = plan.stride
         norms = []
         for i in range(ncam):
-            wimg = warped[i][:, halo : halo + bh : st, ::st]
+            wimg = _pool_pow2(
+                warped[i][:, halo : halo + bh].astype(jnp.float32), st
+            )
             norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
         sums = []
         for p, (i, j) in enumerate(plan.pairs):

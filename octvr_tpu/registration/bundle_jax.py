@@ -1,14 +1,20 @@
-"""JAX bundle adjustment: analytic Jacobians via jacfwd and a
-multi-device Schur-style normal-equation reduction.
+"""JAX bundle adjustment: analytic per-match Jacobian blocks, camera-block
+normal-equation assembly, and the full LM loop inside ONE jitted program.
 
 The NumPy path (bundle.py) mirrors the reference's numeric-difference
-CvLevMarq in f64 for parity; this path is the scale-out design from
-SURVEY.md §7: residuals are pure jnp (differentiable), J comes from
-jax.jacfwd instead of 2*P residual re-evaluations
-(motion_estimators.cpp:579-601), and for large rigs the J^T J / J^T r
-accumulation shards the *match* axis over a device mesh with psum —
-each device holds a slice of the correspondences, the [P, P] normal
-matrix is tiny and replicated.
+CvLevMarq in f64 for parity (motion_estimators.cpp:176-277, numeric
+Jacobian :579-601).  This path is the scale-out design from SURVEY.md §7:
+
+* residuals are pure jnp; each match's Jacobian wrt its TWO cameras'
+  4-param blocks comes from ``jax.jacfwd`` vmapped over matches —
+  O(m) block work instead of the dense [3m, 4n] Jacobian (rotation-only
+  pano BA has no landmarks, so the camera blocks ARE the reduced system;
+  the [4n, 4n] normal matrix is assembled by scatter-adding 4x4 blocks);
+* the LM damping loop (solve, trial step, accept/reject, lambda update)
+  runs inside jit as a ``lax.while_loop`` — one host round-trip per
+  *phase*, not per iteration;
+* with a mesh, the match axis shards over devices and the tiny [4n, 4n]
+  / [4n] reductions psum over ICI (jax.shard_map).
 """
 
 from functools import partial
@@ -32,73 +38,112 @@ def _rodrigues_jnp(rvec):
     )
 
 
-def _ray_residuals_jnp(params, cam_i, cam_j, p1, p2, sizes, n):
-    P = params.reshape(n, 4)
-    f = P[:, 0]
-    Rs = jnp.stack([_rodrigues_jnp(P[c, 1:4]) for c in range(n)])
-    cx = sizes[:, 0] * 0.5
-    cy = sizes[:, 1] * 0.5
+def _pair_residual(pi, pj, pt1, pt2, sz1, sz2):
+    """One match: 4-param camera blocks (f, rvec) x2 -> residual [3]
+    (unit-ray difference scaled by sqrt(f_i f_j),
+    motion_estimators.cpp:505-578)."""
 
-    def rays(ci, pts):
-        fc = f[ci]
-        x = (pts[:, 0] - cx[ci]) / fc
-        y = (pts[:, 1] - cy[ci]) / fc
-        v = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-        w = jnp.einsum("mij,mj->mi", Rs[ci], v)
-        return w / jnp.linalg.norm(w, axis=-1, keepdims=True)
-
-    r1 = rays(cam_i, p1)
-    r2 = rays(cam_j, p2)
-    mult = jnp.sqrt(jnp.abs(f[cam_i] * f[cam_j]))
-    return ((r1 - r2) * mult[:, None]).reshape(-1)
-
-
-def _make_normal_fn(n, mesh=None):
-    """Returns jitted fn(params, data arrays) -> (JtJ, Jtr, cost).  With a
-    mesh, matches are sharded over its first axis and the reductions are
-    psum'd."""
-
-    def normal(params, cam_i, cam_j, p1, p2, sizes):
-        def res_fn(p):
-            return _ray_residuals_jnp(p, cam_i, cam_j, p1, p2, sizes, n)
-
-        r = res_fn(params)
-        J = jax.jacfwd(res_fn)(params)  # [3m, 4n] analytic
-        JtJ = J.T @ J
-        Jtr = J.T @ r
-        cost = r @ r
-        return JtJ, Jtr, cost
-
-    if mesh is None:
-        return jax.jit(normal)
-
-    from jax.sharding import PartitionSpec as P
-
-    axis = mesh.axis_names[0]
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    def sharded(params, cam_i, cam_j, p1, p2, sizes):
-        JtJ, Jtr, cost = normal(params, cam_i, cam_j, p1, p2, sizes)
-        return (
-            jax.lax.psum(JtJ, axis),
-            jax.lax.psum(Jtr, axis),
-            jax.lax.psum(cost, axis),
+    def ray(p, pt, sz):
+        f = p[0]
+        R = _rodrigues_jnp(p[1:4])
+        v = jnp.array(
+            [(pt[0] - sz[0] * 0.5) / f, (pt[1] - sz[1] * 0.5) / f, 1.0]
         )
+        w = R @ v
+        return w / jnp.linalg.norm(w)
 
-    return jax.jit(sharded)
+    r = ray(pi, pt1, sz1) - ray(pj, pt2, sz2)
+    return r * jnp.sqrt(jnp.abs(pi[0] * pj[0]))
+
+
+# residual + the two 4-param Jacobian blocks, vmapped over matches
+_pair_jac = jax.jacfwd(_pair_residual, argnums=(0, 1))
+_v_res = jax.vmap(_pair_residual, in_axes=(0, 0, 0, 0, 0, 0))
+_v_jac = jax.vmap(_pair_jac, in_axes=(0, 0, 0, 0, 0, 0))
+
+
+def _norm_eqs(x, cam_i, cam_j, p1, p2, sizes, n, axis=None):
+    """Camera-block JtJ [4n,4n], Jtr [4n], cost — scatter-added 4x4
+    blocks, psum'd over ``axis`` when match-sharded."""
+    P = x.reshape(n, 4)
+    pi, pj = P[cam_i], P[cam_j]
+    s1, s2 = sizes[cam_i], sizes[cam_j]
+    r = _v_res(pi, pj, p1, p2, s1, s2)  # [m, 3]
+    Ji, Jj = _v_jac(pi, pj, p1, p2, s1, s2)  # [m, 3, 4] x2
+
+    def blk(a, b):  # [m, 4, 4]
+        return jnp.einsum("mri,mrj->mij", a, b)
+
+    JtJ = jnp.zeros((n, 4, n, 4))
+    JtJ = JtJ.at[cam_i, :, cam_i, :].add(blk(Ji, Ji))
+    JtJ = JtJ.at[cam_j, :, cam_j, :].add(blk(Jj, Jj))
+    JtJ = JtJ.at[cam_i, :, cam_j, :].add(blk(Ji, Jj))
+    JtJ = JtJ.at[cam_j, :, cam_i, :].add(blk(Jj, Ji))
+    Jtr = jnp.zeros((n, 4))
+    Jtr = Jtr.at[cam_i].add(jnp.einsum("mri,mr->mi", Ji, r))
+    Jtr = Jtr.at[cam_j].add(jnp.einsum("mri,mr->mi", Jj, r))
+    cost = jnp.sum(r * r)
+    JtJ = JtJ.reshape(4 * n, 4 * n)
+    Jtr = Jtr.reshape(4 * n)
+    if axis is not None:
+        JtJ = jax.lax.psum(JtJ, axis)
+        Jtr = jax.lax.psum(Jtr, axis)
+        cost = jax.lax.psum(cost, axis)
+    return JtJ, Jtr, cost
+
+
+def _cost_only(x, cam_i, cam_j, p1, p2, sizes, n, axis=None):
+    P = x.reshape(n, 4)
+    r = _v_res(P[cam_i], P[cam_j], p1, p2, sizes[cam_i], sizes[cam_j])
+    c = jnp.sum(r * r)
+    return jax.lax.psum(c, axis) if axis is not None else c
+
+
+def _lm_body(n, max_iter, axis=None):
+    """The full LM loop as one traced program (no host round-trips)."""
+
+    def run(x0, free, cam_i, cam_j, p1, p2, sizes):
+        args = (cam_i, cam_j, p1, p2, sizes)
+        cost0 = _cost_only(x0, *args, n, axis)
+
+        def cond(st):
+            x, lam, cost, it, stall = st
+            return (it < max_iter) & (stall < 8) & (lam < 1e12)
+
+        def body(st):
+            x, lam, cost, it, stall = st
+            JtJ, Jtr, _ = _norm_eqs(x, *args, n, axis)
+            # lock params outside the free set: unit diagonal, zero
+            # gradient (the two-phase schedule locks focals first)
+            fm = free.astype(JtJ.dtype)
+            A = JtJ * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+            g = Jtr * fm
+            damped = A + lam * jnp.diag(jnp.diag(A) + 1e-9)
+            delta = jnp.linalg.solve(damped, -g)
+            xn = x + delta * fm
+            cn = _cost_only(xn, *args, n, axis)
+            accept = cn < cost
+            x = jnp.where(accept, xn, x)
+            cost = jnp.where(accept, cn, cost)
+            lam = jnp.where(
+                accept, jnp.maximum(lam * 0.1, 1e-10), lam * 10.0
+            )
+            stall = jnp.where(accept, 0, stall + 1)
+            return (x, lam, cost, it + 1, stall)
+
+        st = (x0, jnp.asarray(1e-3), cost0, jnp.asarray(0), jnp.asarray(0))
+        x, lam, cost, it, _ = jax.lax.while_loop(cond, body, st)
+        return x, cost
+
+    return run
 
 
 def bundle_adjust_ray_jax(
-    features, matches, cameras, conf_thresh=1.0, max_iter=40, mesh=None
+    features, matches, cameras, conf_thresh=1.0, max_iter=60, mesh=None
 ):
-    """Drop-in alternative to bundle_adjust_ray: analytic-Jacobian LM on
-    device; pass a Mesh to shard the correspondence reduction."""
+    """Drop-in alternative to bundle_adjust_ray: analytic camera-block
+    LM fully on device (2 host round-trips total — one per phase); pass
+    a Mesh to shard the correspondence reduction over devices."""
     n = len(cameras)
     data = BundleData.from_matches(features, matches, conf_thresh)
     m = len(data.cam_i)
@@ -117,17 +162,30 @@ def bundle_adjust_ray_jax(
     cam_j[:m] = data.cam_j
     p1[:m] = data.p1
     p2[:m] = data.p2
-    # padding rows reference camera 0 with its own principal point ->
-    # residual 0?  Not exactly; zero them by pointing both ends at the
-    # same camera and the same pixel.
+    # padding rows: both ends the same camera and pixel -> residual and
+    # both Jacobian blocks are exactly zero, contributing nothing
     if pad > m:
         cam_j[m:] = cam_i[m:]
         p2[m:] = p1[m:]
     sizes = jnp.asarray(data.sizes, dtype=jnp.float32)
 
-    normal_fn = _make_normal_fn(n, mesh)
+    if mesh is None:
+        run = jax.jit(_lm_body(n, max_iter))
+    else:
+        from jax.sharding import PartitionSpec as P
 
-    x = np.zeros(n * 4, dtype=np.float64)
+        axis = mesh.axis_names[0]
+        run = jax.jit(
+            partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(_lm_body(n, max_iter, axis))
+        )
+
+    x = np.zeros(n * 4, dtype=np.float32)
     for c, cam in enumerate(cameras):
         x[c * 4] = cam.focal
         x[c * 4 + 1 : c * 4 + 4] = inv_rodrigues(cam.R)
@@ -143,40 +201,11 @@ def bundle_adjust_ray_jax(
         jnp.asarray(p2),
         sizes,
     )
-
-    lam = 1e-3
     cost = None
     for free in free_masks:
-        idx = np.flatnonzero(free)
-        for _ in range(max_iter):
-            JtJ, Jtr, cost_now = (
-                np.asarray(v, dtype=np.float64)
-                for v in normal_fn(jnp.asarray(x, dtype=jnp.float32), *args)
-            )
-            cost = float(cost_now)
-            A = JtJ[np.ix_(idx, idx)]
-            g = Jtr[idx]
-            improved = False
-            for _ in range(8):
-                try:
-                    delta = np.linalg.solve(
-                        A + lam * np.diag(np.diag(A) + 1e-9), -g
-                    )
-                except np.linalg.LinAlgError:
-                    lam *= 10
-                    continue
-                xn = x.copy()
-                xn[idx] += delta
-                _, _, cn = normal_fn(jnp.asarray(xn, dtype=jnp.float32), *args)
-                cn = float(cn)
-                if cn < cost:
-                    x, cost = xn, cn
-                    lam = max(lam * 0.1, 1e-10)
-                    improved = True
-                    break
-                lam *= 10
-            if not improved:
-                break
+        xj, cj = run(jnp.asarray(x), jnp.asarray(free), *args)
+        x = np.asarray(xj, dtype=np.float64)
+        cost = float(cj)
 
     for c, cam in enumerate(cameras):
         cam.focal = float(x[c * 4])

@@ -22,7 +22,12 @@ import numpy as np
 
 from ..utils.pytree import register_plan
 
-__all__ = ["ImageFeatures", "detect_and_describe", "rgb_to_gray"]
+__all__ = [
+    "ImageFeatures",
+    "detect_and_describe",
+    "detect_and_describe_pyramid",
+    "rgb_to_gray",
+]
 
 # FAST radius-3 Bresenham circle, clockwise from 12 o'clock
 _CIRCLE = np.array(
@@ -241,5 +246,66 @@ def detect_and_describe(gray, max_features=1000, grid=(3, 1), threshold=12.0):
         angle=angles,
         descriptors=desc,
         valid=valid,
+        img_size=(w, h),
+    )
+
+
+def detect_and_describe_pyramid(
+    gray,
+    max_features=1500,
+    levels=4,
+    scale=1.25,
+    grid=(3, 1),
+    threshold=12.0,
+):
+    """Multi-scale detection: ORB's image pyramid (matchers.cpp ORB uses
+    nlevels with scaleFactor 1.3; SURF's octaves play the same role,
+    matchers.cpp:365-389).  Each level runs the fixed-budget detector on
+    a downscaled image; keypoints map back to level-0 pixel coordinates
+    and the per-level features concatenate into one ImageFeatures.
+
+    Per-level budgets follow ORB's geometric split (proportional to
+    level area, factor 1/scale^2)."""
+    import math
+
+    from ..ops.resize import resize_bilinear
+
+    h, w = gray.shape
+    q = 1.0 / (scale * scale)
+    norm = (1.0 - q**levels) / (1.0 - q)
+    budgets = [
+        max(8, int(round(max_features * (q**l) / norm))) for l in range(levels)
+    ]
+
+    gray = jnp.asarray(gray)
+    parts = []
+    img = gray
+    for l in range(levels):
+        if l:
+            nh = max(2 * PATCH_R + 10, int(round(h / scale**l)))
+            nw = max(2 * PATCH_R + 10, int(round(w / scale**l)))
+            img = jnp.asarray(
+                resize_bilinear(np.asarray(gray), nh, nw)
+            )
+        f = detect_and_describe(
+            img, max_features=budgets[l], grid=grid, threshold=threshold
+        )
+        sx = w / img.shape[1]
+        sy = h / img.shape[0]
+        parts.append(
+            (
+                np.asarray(f.keypoints) * np.array([sx, sy], np.float32),
+                np.asarray(f.response),
+                np.asarray(f.angle),
+                np.asarray(f.descriptors),
+                np.asarray(f.valid),
+            )
+        )
+    return ImageFeatures(
+        keypoints=np.concatenate([p[0] for p in parts]),
+        response=np.concatenate([p[1] for p in parts]),
+        angle=np.concatenate([p[2] for p in parts]),
+        descriptors=np.concatenate([p[3] for p in parts]),
+        valid=np.concatenate([p[4] for p in parts]),
         img_size=(w, h),
     )

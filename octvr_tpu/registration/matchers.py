@@ -170,33 +170,103 @@ def find_homography_ransac(
     return _dlt(src[best_mask], dst[best_mask]), best_mask
 
 
-def match_images(features, match_conf=0.3, num_matches_thresh1=6, seed=0):
+def _pairs_from_nn(d12, i12, d21, i21, match_conf):
+    """Ratio test both directions + union (host post-processing of the
+    batched 2-NN results)."""
+    ratio = 1.0 - match_conf
+    chosen = set()
+    pairs = []
+    ok12 = d12[:, 0] < ratio * np.maximum(d12[:, 1], 1e-6)
+    for q in np.flatnonzero(ok12):
+        pairs.append((q, i12[q, 0]))
+        chosen.add((q, int(i12[q, 0])))
+    ok21 = d21[:, 0] < ratio * np.maximum(d21[:, 1], 1e-6)
+    for q in np.flatnonzero(ok21):
+        pair = (int(i21[q, 0]), q)
+        if pair not in chosen:
+            pairs.append(pair)
+    if not pairs:
+        return np.zeros((0, 2), np.int32), np.zeros((0,), bool)
+    pairs = np.asarray(pairs, dtype=np.int32)
+    return pairs, np.ones(len(pairs), dtype=bool)
+
+
+@jax.jit
+def _two_nn_batch(d1s, v1s, d2s, v2s):
+    """Batched 2-NN over a stacked pair axis: [P, K, 256] x2 -> the whole
+    pairwise fan-out as ONE device program (the reference parallelizes
+    this loop over CPU threads, matchers.cpp:530-555; here every pair's
+    Hamming matrix is an independent MXU matmul XLA schedules freely)."""
+    return jax.vmap(_two_nn)(d1s, v1s, d2s, v2s)
+
+
+def match_images(
+    features,
+    match_conf=0.3,
+    num_matches_thresh1=6,
+    seed=0,
+    range_width=None,
+):
     """All-pairs matching fan-out (FeaturesMatcher operator(),
     matchers.cpp:530-555 + BestOf2NearestMatcher::match :581-658).
+
+    ``range_width``: only match ordered neighbors |i - j| < range_width
+    (BestOf2NearestRangeMatcher, matchers.cpp:667-695) — for sequences
+    ordered by capture position, avoids the O(n^2) fan-out.
+
     Returns dict {(i, j): MatchesInfo} for i<j."""
     n = len(features)
+    pair_list = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if range_width is None or (j - i) < range_width
+    ]
     out = {}
-    for i in range(n):
-        for j in range(i + 1, n):
-            f1, f2 = features[i], features[j]
-            pairs, valid = match_pair(f1, f2, match_conf)
-            mi = MatchesInfo(src_idx=i, dst_idx=j, pairs=pairs, valid=valid)
-            out[(i, j)] = mi
-            if len(pairs) < num_matches_thresh1:
-                continue
-            k1 = np.asarray(f1.keypoints)
-            k2 = np.asarray(f2.keypoints)
-            w1, h1 = f1.img_size
-            w2, h2 = f2.img_size
-            src = k1[pairs[:, 0]] - np.array([w1 * 0.5, h1 * 0.5])
-            dst = k2[pairs[:, 1]] - np.array([w2 * 0.5, h2 * 0.5])
-            H, inl = find_homography_ransac(src, dst, seed=seed + i * n + j)
-            if H is None or abs(np.linalg.det(H)) < np.finfo(float).eps:
-                continue
-            mi.H = H
-            mi.inliers = inl
-            mi.num_inliers = int(inl.sum())
-            conf = mi.num_inliers / (8 + 0.3 * len(pairs))
-            # drop too-close image pairs (matchers.cpp:631)
-            mi.confidence = 0.0 if conf > 3.0 else conf
+    if not pair_list:
+        return out
+
+    # batched 2-NN: one stacked device call for every pair, both
+    # directions (pads descriptor counts to the max K)
+    kmax = max(np.asarray(f.descriptors).shape[0] for f in features)
+
+    def padk(a, fill=0.0):
+        a = np.asarray(a)
+        if a.shape[0] == kmax:
+            return a
+        pad = np.full((kmax - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad])
+
+    desc = np.stack([padk(f.descriptors) for f in features])
+    val = np.stack([padk(np.asarray(f.valid), False) for f in features])
+    ii = np.array([p[0] for p in pair_list])
+    jj = np.array([p[1] for p in pair_list])
+    d12, i12 = _two_nn_batch(desc[ii], val[ii], desc[jj], val[jj])
+    d21, i21 = _two_nn_batch(desc[jj], val[jj], desc[ii], val[ii])
+    d12, i12, d21, i21 = (np.asarray(a) for a in (d12, i12, d21, i21))
+
+    for p, (i, j) in enumerate(pair_list):
+        f1, f2 = features[i], features[j]
+        pairs, valid = _pairs_from_nn(
+            d12[p], i12[p], d21[p], i21[p], match_conf
+        )
+        mi = MatchesInfo(src_idx=i, dst_idx=j, pairs=pairs, valid=valid)
+        out[(i, j)] = mi
+        if len(pairs) < num_matches_thresh1:
+            continue
+        k1 = np.asarray(f1.keypoints)
+        k2 = np.asarray(f2.keypoints)
+        w1, h1 = f1.img_size
+        w2, h2 = f2.img_size
+        src = k1[pairs[:, 0]] - np.array([w1 * 0.5, h1 * 0.5])
+        dst = k2[pairs[:, 1]] - np.array([w2 * 0.5, h2 * 0.5])
+        H, inl = find_homography_ransac(src, dst, seed=seed + i * n + j)
+        if H is None or abs(np.linalg.det(H)) < np.finfo(float).eps:
+            continue
+        mi.H = H
+        mi.inliers = inl
+        mi.num_inliers = int(inl.sum())
+        conf = mi.num_inliers / (8 + 0.3 * len(pairs))
+        # drop too-close image pairs (matchers.cpp:631)
+        mi.confidence = 0.0 if conf > 3.0 else conf
     return out

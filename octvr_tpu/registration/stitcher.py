@@ -48,10 +48,19 @@ def register_images(
     max_features=1000,
     wave_kind="horiz",
     seed=0,
+    levels=1,
+    range_width=None,
 ):
     """images: list of [H, W, 3] uint8/float RGB arrays (equal or varying
     sizes).  Returns RegistrationResult with refined CameraParams (focals
-    scaled back to original resolution)."""
+    scaled back to original resolution).
+
+    ``levels`` > 1 enables the multi-scale detector (SURF-octave /
+    ORB-pyramid role, matchers.cpp:365-460) — needed when the rig mixes
+    very different focal lengths.  ``range_width`` restricts matching to
+    ordered neighbors (BestOf2NearestRangeMatcher, matchers.cpp:667-695)."""
+    from .features import detect_and_describe_pyramid
+
     feats = []
     work_scales = []
     for img in images:
@@ -62,11 +71,22 @@ def register_images(
         work_scales.append(scale)
         small = resize_bilinear(img, sh, sw)
         gray = np.asarray(rgb_to_gray(jnp.asarray(small)))
-        feats.append(
-            detect_and_describe(jnp.asarray(gray), max_features=max_features)
-        )
+        if levels > 1:
+            feats.append(
+                detect_and_describe_pyramid(
+                    gray, max_features=max_features, levels=levels
+                )
+            )
+        else:
+            feats.append(
+                detect_and_describe(
+                    jnp.asarray(gray), max_features=max_features
+                )
+            )
 
-    matches = match_images(feats, match_conf=match_conf, seed=seed)
+    matches = match_images(
+        feats, match_conf=match_conf, seed=seed, range_width=range_width
+    )
 
     keep = leave_biggest_component(len(feats), matches, conf_thresh)
     if len(keep) < len(feats):

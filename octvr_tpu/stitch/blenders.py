@@ -243,7 +243,7 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
     B = plan.num_bands
     arx, ary, arw, arh = plan.align_result_roi
     c = imgs[0].shape[0]
-    out_dtype = imgs[0].dtype
+    out_dtype = jnp.float32  # canvas is always f32 (feeds YUV pack)
     dtype = jnp.dtype(plan.compute_dtype)
 
     dst_pyr = [
@@ -269,10 +269,13 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
     for img, roi, aroi, wpyr in zip(imgs, plan.rois, plan.align_rois, plan.weight_pyrs):
         x, y, w, h = roi
         ax, ay, aw, ah = aroi
-        if dtype != out_dtype:
+        if img.dtype != dtype:
             # materialize before the dtype cast: letting XLA fuse the
             # bf16 convert back into the remap/untile producer graph
-            # faults the TPU kernel at 4K scale
+            # faults the TPU kernel at 4K scale (BENCH_r01.json).  The
+            # Pallas path avoids this entirely by emitting bf16 tiles
+            # from the kernel, so this branch only fires on the XLA
+            # gather fallback.
             img = jax.lax.optimization_barrier(img)
         src0 = jnp.zeros((c, ah, aw), dtype=dtype)
         src0 = src0.at[:, y - ay : y - ay + h, x - ax : x - ax + w].set(

@@ -52,14 +52,25 @@ WORKING_MEGAPIX = 0.1  # mapper.cpp:43
 __all__ = ["Mapper", "StitchPlan"]
 
 
+def _pool_pow2(x, s):
+    """[C, H, W] -> [C, H/s, W/s] box mean, s a power of two, via log2(s)
+    strided-add halvings (lane-splitting reshapes relayout at ~1 GB/s on
+    TPU; strided slices of a reduction run ~11x faster, see ops/color
+    _box2)."""
+    while s > 1:
+        x = (x[:, 0::2, :] + x[:, 1::2, :]) * 0.5
+        x = (x[:, :, 0::2] + x[:, :, 1::2]) * 0.5
+        s >>= 1
+    return x
+
+
 @dataclass
 class _InputPlan:
     roi: tuple
     remap: object
-    # working-scale subsample of the warped ROI image: (oy, ox, stride,
-    # wh, ww) — a strided slice on a canvas-aligned grid (the warped
-    # pixel at the subsampled coordinate IS the working-scale value, so
-    # no second gather is needed; strided slices beat lane gathers)
+    # working-scale image spec: (oy, ox, stride, wh, ww) — stride x
+    # stride box means over canvas-aligned blocks of the warped ROI (the
+    # reference's 0.1 MP resize, mapper.cpp:235; no second gather needed)
     work_sub: Optional[tuple]
     work_roi: tuple
     vignette: Optional[np.ndarray]  # f32 [H_in, W_in] or None
@@ -168,14 +179,23 @@ class Mapper:
             work_sub = None
             wroi = None
             if not is_overlay:
-                gx = -(-rx // stride)  # first grid column inside the roi
+                # working image = stride x stride box means over canvas-
+                # aligned blocks (the reference's cv::resize to 0.1 MP,
+                # mapper.cpp:235; box means run as log2(s) strided adds
+                # which TPU executes ~35x faster than a strided slice)
+                gx = -(-rx // stride)  # first full block inside the roi
                 gy = -(-ry // stride)
                 ox, oy = gx * stride - rx, gy * stride - ry
-                ww = (rw - ox + stride - 1) // stride
-                wh = (rh - oy + stride - 1) // stride
+                ww = (rw - ox) // stride
+                wh = (rh - oy) // stride
                 work_sub = (oy, ox, stride, wh, ww)
                 wroi = (gx, gy, ww, wh)
-                work_masks.append(inp.mask[oy::stride, ox::stride])
+                mb = (inp.mask > 0).astype(np.float32)[
+                    oy : oy + wh * stride, ox : ox + ww * stride
+                ]
+                pooled = mb.reshape(wh, stride, ww, stride).mean(axis=(1, 3))
+                # a block counts only when fully covered by the mask
+                work_masks.append((pooled > 0.999).astype(np.uint8) * 255)
                 work_rois.append(wroi)
 
             vig = None
@@ -267,9 +287,18 @@ class Mapper:
                 else:
                     warped.append(remap_apply_packed(packed, ip.remap))
         if plan.batched_remap is not None:
+            # multiband-bf16 plans take bf16 straight out of the kernel
+            # (no XLA convert on the untile product; see blenders.py)
+            remap_dtype = (
+                plan.blender.compute_dtype
+                if plan.blend_kind == "multiband"
+                else "float32"
+            )
             warped = list(
                 pallas_remap_apply_batched(
-                    jnp.stack(packed_all), plan.batched_remap
+                    jnp.stack(packed_all),
+                    plan.batched_remap,
+                    out_dtype=remap_dtype,
                 )
             )
 
@@ -281,7 +310,10 @@ class Mapper:
         if plan.gain is not None:
             for w, ip in zip(warped[: self.num_inputs], plan.inputs):
                 oy, ox, s, wh, ww = ip.work_sub
-                wimg = w[:, oy::s, ox::s][:, :wh, :ww]
+                wimg = w[:, oy : oy + wh * s, ox : ox + ww * s].astype(
+                    jnp.float32
+                )
+                wimg = _pool_pow2(wimg, s)
                 work_norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
 
         gains = None
@@ -293,7 +325,9 @@ class Mapper:
                 scale=plan.working_scale,
             )
             warped = [
-                w * gmaps[i][None] if i < self.num_inputs else w
+                w * gmaps[i][None].astype(w.dtype)
+                if i < self.num_inputs
+                else w
                 for i, w in enumerate(warped)
             ]
         elif plan.gain is not None:
@@ -301,8 +335,10 @@ class Mapper:
                 gains = solve_gains(plan.gain, work_norms)
             else:
                 gains = ext_gains
+            # cast the scalar, not the image: a f32*bf16 promote would
+            # silently undo the bf16 path
             warped = [
-                w * gains[i] if i < self.num_inputs else w
+                w * gains[i].astype(w.dtype) if i < self.num_inputs else w
                 for i, w in enumerate(warped)
             ]
 

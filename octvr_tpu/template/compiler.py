@@ -135,10 +135,13 @@ class MapperTemplate:
 
     # ---------------------------------------------------------- seam masks
 
-    def create_masks(self, imgs=None):
+    def create_masks(self, imgs=None, seam="auto"):
         """Compute seam masks at <=960 px working width (template.cpp:155-204).
-        Without images: distance seam finder.  (Graph-cut variant lands with
-        the registration milestone.)"""
+
+        ``seam``: "auto" (distance without images, graph-cut with, like
+        template.cpp:191-195), "distance", "dp", "dp_grad", "graphcut",
+        "graphcut_grad" (the *_grad variants use the reference's
+        COST_COLOR_GRAD normalization, seam_finders.cpp:1283-1335)."""
         w, h = self.out_size
         scale = min(1.0, SEAM_WORK_WIDTH / w)
 
@@ -151,9 +154,14 @@ class MapperTemplate:
             scaled.append(m)
             scaled_sizes.append((sh, sw))
 
-        if imgs is not None and len(imgs) > 0:
-            from .graphcut import graphcut_seam_find
+        if seam == "auto":
+            seam = "graphcut" if imgs else "distance"
+        if seam != "distance" and not imgs:
+            raise ValueError(f"seam kind {seam!r} needs input images")
 
+        if seam == "distance":
+            seams = distance_seam_find(scaled, corners, max_n=1)
+        else:
             srcs = []
             for inp, img in zip(self.inputs, imgs):
                 warped = _remap_image_cpu(img, inp.map1, inp.map2)
@@ -162,9 +170,28 @@ class MapperTemplate:
                 srcs.append(
                     resize_bilinear(warped.astype(np.float32) / 255.0, sh2, sw2)
                 )
-            seams = graphcut_seam_find(srcs, scaled, corners)
-        else:
-            seams = distance_seam_find(scaled, corners, max_n=1)
+            if seam in ("graphcut", "graphcut_grad"):
+                from .graphcut import graphcut_seam_find
+
+                seams = graphcut_seam_find(
+                    srcs,
+                    scaled,
+                    corners,
+                    cost_type="color_grad"
+                    if seam == "graphcut_grad"
+                    else "color",
+                )
+            elif seam in ("dp", "dp_grad"):
+                from .seam import dp_seam_find
+
+                seams = dp_seam_find(
+                    srcs,
+                    scaled,
+                    corners,
+                    cost_type="color_grad" if seam == "dp_grad" else "color",
+                )
+            else:
+                raise ValueError(f"unknown seam kind {seam!r}")
 
         self.seam_masks = []
         for inp, sm in zip(self.inputs, seams):

@@ -121,12 +121,26 @@ def voronoi_seam_find(masks, corners):
     return distance_seam_find(masks, corners, max_n=1)
 
 
-def dp_seam_find(images, masks, corners):
-    """Pairwise dynamic-programming seam (DpSeamFinder COLOR cost): for
-    every overlapping pair, carve the min color-difference path through
-    the overlap and split the masks along it.  Offline/CPU."""
+def dp_seam_find(images, masks, corners, cost_type="color"):
+    """Pairwise dynamic-programming seam (DpSeamFinder,
+    seam_finders.hpp:135-242): for every overlapping pair, carve the min
+    cost path through the overlap and split the masks along it.
+
+    cost_type "color": cost = color difference (COLOR).  "color_grad":
+    the difference is normalized by the Sobel gradient magnitudes of
+    both images (COLOR_GRAD) — the seam prefers textured areas.
+    Offline/CPU."""
+    assert cost_type in ("color", "color_grad")
     masks = [np.array(m, dtype=np.uint8, copy=True) for m in masks]
     n = len(masks)
+    all_grads = None
+    if cost_type == "color_grad":
+        from .graphcut import grad_magnitude
+
+        all_grads = []
+        for im in images:
+            gx, gy = grad_magnitude(im)
+            all_grads.append(gx + gy)
     for i in range(n):
         for j in range(i + 1, n):
             xi, yi = corners[i]
@@ -147,6 +161,8 @@ def dp_seam_find(images, masks, corners):
             a = np.asarray(images[i])[si].astype(np.float64)
             b = np.asarray(images[j])[sj].astype(np.float64)
             cost = np.sqrt(((a - b) ** 2).sum(-1) if a.ndim == 3 else (a - b) ** 2)
+            if all_grads is not None:
+                cost = cost / (all_grads[i][si] + all_grads[j][sj] + 1.0)
             cost = np.where(both, cost, 1e6)
             oh, ow = cost.shape
             # vertical seam (transpose if the overlap is wide and short)

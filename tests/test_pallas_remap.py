@@ -68,3 +68,26 @@ def test_pallas_remap_batched_matches_xla_gather():
             )
         )
         assert np.abs(ref - np.asarray(out)).max() < 1e-3
+
+
+def test_pallas_remap_batched_bf16_output():
+    """out_dtype='bfloat16': kernel-side cast, values within bf16 ulp of
+    the f32 path (feeds the bf16 blend with no XLA convert)."""
+    rng = np.random.default_rng(4)
+    in_h, in_w = 96, 256
+    m1, m2 = _arc_maps(64, 256)
+    img = rng.uniform(0, 255, (3, in_h, in_w)).astype(np.float32)
+    packed = pack_rgb(jnp.asarray(img)).reshape(in_h, in_w)
+
+    bp = merge_remap_plans([(m1, m2), (m2, m1)], in_h, in_w)
+    outs32 = pallas_remap_apply_batched(
+        jnp.stack([packed, packed]), bp, interpret=True
+    )
+    outs16 = pallas_remap_apply_batched(
+        jnp.stack([packed, packed]), bp, interpret=True, out_dtype="bfloat16"
+    )
+    for o32, o16 in zip(outs32, outs16):
+        assert o16.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(o32) - np.asarray(o16, dtype=np.float32))
+        # bf16 has 8 mantissa bits: <= 0.5 ulp of 255 = 0.5
+        assert err.max() <= 1.0, err.max()

@@ -214,7 +214,11 @@ def _pipeline_golden_f64(mapper, mt, frames):
         norms = []
         for wimg, ip in zip(warped, plan.inputs):
             oy, ox, s, wh, ww = ip.work_sub
-            sub = wimg[:, oy::s, ox::s][:, :wh, :ww]
+            sub = wimg[:, oy : oy + wh * s, ox : ox + ww * s]
+            while s > 1:  # box-mean pooling, same halving order as jit
+                sub = (sub[:, 0::2, :] + sub[:, 1::2, :]) * 0.5
+                sub = (sub[:, :, 0::2] + sub[:, :, 1::2]) * 0.5
+                s >>= 1
             norms.append(np.sqrt((sub**2).sum(axis=0)))
         I = np.zeros((n, n))
         for (i, j), mi, mj in zip(gp.pairs, gp.masks_i, gp.masks_j):
@@ -273,18 +277,24 @@ def _pipeline_golden_f64(mapper, mt, frames):
     return _rgb_to_yuv_f64(canvas), gains
 
 
-def test_f64_golden_full_pipeline():
+@pytest.mark.parametrize("canvas", [(256, 128), (1024, 512)])
+def test_f64_golden_full_pipeline(canvas):
+    """1024x512 uses working-grid stride 2 (box-pooled gain images);
+    256x128 runs at stride 1."""
+    W, H = canvas
     rig = two_fisheye_rig()
     for spec in rig["inputs"]:
         spec["options"]["width"] = 256
         spec["options"]["height"] = 256
         spec["options"]["vignette"] = [1.0, -0.15, 0.05, 0.0]
-    mt = compile_rig(rig, 256, 128)
+    mt = compile_rig(rig, W, H)
     mt.create_masks()
     sizes = [(256, 256)] * 2
     frames = render_camera_frames(rig)
 
     mapper = Mapper(mt, sizes, blend=16, enable_gain=True)
+    if W == 1024:
+        assert mapper.plan.inputs[0].work_sub[2] > 1  # pooled path
     out, gains_jit = mapper.stitch(frames)
     out = np.asarray(out)
 

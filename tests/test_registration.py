@@ -299,3 +299,120 @@ def test_sharded_bundle_adjust(synthetic_ring):
     f_1 = np.array([c.focal for c in cams_1])
     np.testing.assert_allclose(f_sh, f_1, rtol=0.01)
     assert abs(rms_sh - rms_1) < 0.1
+
+
+def test_range_matcher_limits_pairs(synthetic_ring):
+    """BestOf2NearestRangeMatcher semantics (matchers.cpp:667-695): only
+    ordered neighbors within range_width are matched."""
+    images, Rs_true, f_true, (w, h) = synthetic_ring
+    grays = [
+        jnp.asarray(
+            0.299 * im[..., 0] + 0.587 * im[..., 1] + 0.114 * im[..., 2]
+        )
+        for im in images
+    ]
+    feats = [detect_and_describe(g, max_features=300) for g in grays]
+    m_all = match_images(feats)
+    m_rng = match_images(feats, range_width=2)
+    assert set(m_all.keys()) == {
+        (i, j) for i in range(5) for j in range(i + 1, 5)
+    }
+    assert set(m_rng.keys()) == {(i, i + 1) for i in range(4)}
+    # adjacent-pair results identical to the full fan-out
+    for k in m_rng:
+        assert m_rng[k].num_inliers == m_all[k].num_inliers
+
+
+def test_pyramid_detector_multiscale():
+    """detect_and_describe_pyramid matches across a 2x scale change where
+    the single-scale detector's descriptors do not."""
+    from octvr_tpu.registration.features import detect_and_describe_pyramid
+    from octvr_tpu.registration.matchers import match_pair
+
+    img1 = render_view(np.eye(3), 300.0, 400, 300)  # wide
+    img2 = render_view(np.eye(3), 600.0, 400, 300)  # 2x zoom, same center
+
+    def gray(im):
+        return np.asarray(
+            0.299 * im[..., 0] + 0.587 * im[..., 1] + 0.114 * im[..., 2]
+        )
+
+    f1 = detect_and_describe_pyramid(gray(img1), max_features=600, levels=4)
+    f2 = detect_and_describe_pyramid(gray(img2), max_features=600, levels=4)
+    pairs, _ = match_pair(f1, f2)
+    src = np.asarray(f1.keypoints)[pairs[:, 0]] - [200, 150]
+    dst = np.asarray(f2.keypoints)[pairs[:, 1]] - [200, 150]
+    H, inl = find_homography_ransac(src, dst, seed=2)
+    assert H is not None and inl.sum() >= 12, (
+        None if H is None else inl.sum()
+    )
+    # the true map is a pure 2x scale about the center
+    s = (H[0, 0] + H[1, 1]) / 2 / H[2, 2]
+    assert abs(s - 2.0) < 0.15, s
+
+
+def test_registration_12cam_two_focal_scales():
+    """VERDICT r1 item 7: 12+ cameras at two focal scales register with
+    the multi-scale detector."""
+    f_wide, f_tele = 320.0, 560.0
+    w, h = 400, 300
+    Rs = yaw_cameras(12, 30.0)
+    focals = [f_wide if k % 2 == 0 else f_tele for k in range(12)]
+    images = [render_view(R, f, w, h) for R, f in zip(Rs, focals)]
+
+    from octvr_tpu.registration import register_images
+
+    res = register_images(
+        images, ba="ray", conf_thresh=0.5, max_features=900, levels=3
+    )
+    assert len(res.indices) >= 11, res.indices
+    focs = np.array([c.focal for c in res.cameras])
+    true = np.array([focals[i] for i in res.indices])
+    rel = np.abs(focs / true - 1.0)
+    assert np.all(rel < 0.08), (focs, true)
+    # relative rotations of surviving neighbors within ~2 degrees
+    for a in range(len(res.indices) - 1):
+        ia, ib = res.indices[a], res.indices[a + 1]
+        R_rel_est = res.cameras[a + 1].R @ res.cameras[a].R.T
+        R_rel_true = Rs[ib] @ Rs[ia].T
+        dR = R_rel_est @ R_rel_true.T
+        ang = math.degrees(math.acos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 2.0, f"pair {ia}-{ib}: {ang} deg"
+
+
+def test_schur_block_ba_rms_parity_9cam():
+    """VERDICT r1 item 8: camera-block jitted LM matches the f64 numeric
+    CvLevMarq-parity path on a 9-cam ring to |d RMS| < 1e-3."""
+    import copy
+
+    from octvr_tpu.registration.bundle_jax import bundle_adjust_ray_jax
+
+    Rs = yaw_cameras(9, 40.0)
+    images = [render_view(R, 380.0, 400, 300) for R in Rs]
+    res = register_images(images, ba=None, wave_kind=None, conf_thresh=0.5)
+    cams_np, rms_np = bundle_adjust_ray(
+        res.features, res.matches, copy.deepcopy(res.cameras), 0.5
+    )
+    cams_jx, rms_jx = bundle_adjust_ray_jax(
+        res.features, res.matches, copy.deepcopy(res.cameras), 0.5
+    )
+    assert abs(rms_np - rms_jx) < 1e-3, (rms_np, rms_jx)
+    np.testing.assert_allclose(
+        [c.focal for c in cams_jx], [c.focal for c in cams_np], rtol=1e-3
+    )
+
+
+def test_calibrate_rotating_camera():
+    """Linear self-calibration (autocalib.cpp:146-194) recovers K exactly
+    from noise-free H = K R K^-1."""
+    from octvr_tpu.registration.autocalib import calibrate_rotating_camera
+    from octvr_tpu.registration.bundle import rodrigues
+
+    rng = np.random.default_rng(1)
+    K_true = np.array([[500.0, 0, 320], [0, 480, 240], [0, 0, 1]])
+    Hs = [
+        K_true @ rodrigues(rng.uniform(-0.4, 0.4, 3)) @ np.linalg.inv(K_true)
+        for _ in range(6)
+    ]
+    K = calibrate_rotating_camera(Hs)
+    np.testing.assert_allclose(K, K_true, atol=0.5)

@@ -214,13 +214,15 @@ def test_fast_mapper_nv12(two_cam_setup):
 
 
 def test_multiband_bf16_matches_f32(two_cam_setup):
-    """The default bf16 pyramid path must track the f32 path to well
+    """The opt-in bf16 pyramid path must track the f32 path to well
     under one 8-bit level on average (the reference's own GPU blender is
     16-bit fixed point, blenders.cpp CV_16S)."""
     rig, mt, sizes = two_cam_setup
     frames = render_camera_frames(rig)
-    m16 = Mapper(mt, sizes, blend=32, enable_gain=False)
-    m32 = Mapper(mt, sizes, blend=32, enable_gain=False, blend_dtype="float32")
+    m16 = Mapper(
+        mt, sizes, blend=32, enable_gain=True, blend_dtype="bfloat16"
+    )
+    m32 = Mapper(mt, sizes, blend=32, enable_gain=True, blend_dtype="float32")
     got16 = rgb_from_yuv_buf(np.asarray(m16.stitch(frames)[0]))
     got32 = rgb_from_yuv_buf(np.asarray(m32.stitch(frames)[0]))
     diff = np.abs(got16.astype(np.float32) - got32.astype(np.float32))

@@ -167,3 +167,52 @@ def test_include_mask_priority():
     # center (lon ~ pi) outside cam0 coverage, so nothing stolen there --
     # instead verify the visible flags were recorded
     assert mt._visible_mask.any()
+
+
+def test_seam_color_grad_prefers_textured_cut():
+    """COST_COLOR_GRAD (seam_finders.cpp:1283-1335): with two candidate
+    seam corridors — one low-color-diff/flat, one slightly-higher-diff
+    but heavily textured — the color cost picks the flat corridor and
+    the gradient-normalized cost moves the seam into the texture."""
+    import numpy as np
+    from octvr_tpu.template.graphcut import graphcut_seam_find
+    from octvr_tpu.template.seam import dp_seam_find
+
+    h, w = 64, 96
+    rng = np.random.default_rng(0)
+    base = np.full((h, w, 3), 0.5, np.float32)
+    img1 = base.copy()
+    img2 = base.copy()
+    # uniform disagreement everywhere
+    img2 += 0.2
+    # corridor A (flat): cols 30-33, small diff
+    img2[:, 30:34] = img1[:, 30:34] + 0.05
+    # corridor B (textured): cols 60-63, slightly larger diff but huge
+    # gradients in BOTH images
+    tex = rng.uniform(0, 1, (h, 4, 3)).astype(np.float32)
+    img1[:, 60:64] = tex
+    img2[:, 60:64] = tex + 0.08
+    masks = [
+        np.zeros((h, w), np.uint8),
+        np.zeros((h, w), np.uint8),
+    ]
+    masks[0][:, : w - 10] = 255  # img1 exclusive: left edge
+    masks[1][:, 10:] = 255  # img2 exclusive: right edge
+    corners = [(0, 0), (0, 0)]
+
+    def seam_col(m1):
+        # rightmost surviving column of mask 1, per row median
+        cols = [np.flatnonzero(r)[-1] if r.any() else -1 for r in m1]
+        return float(np.median(cols))
+
+    s_color = graphcut_seam_find([img1, img2], masks, corners, "color")
+    s_grad = graphcut_seam_find([img1, img2], masks, corners, "color_grad")
+    c_color = seam_col(s_color[0])
+    c_grad = seam_col(s_grad[0])
+    assert 28 <= c_color <= 36, c_color  # flat corridor
+    assert 57 <= c_grad <= 66, c_grad  # textured corridor
+
+    d_color = dp_seam_find([img1, img2], masks, corners, "color")
+    d_grad = dp_seam_find([img1, img2], masks, corners, "color_grad")
+    assert 28 <= seam_col(d_color[0]) <= 36
+    assert 57 <= seam_col(d_grad[0]) <= 66
