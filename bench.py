@@ -139,7 +139,11 @@ def main():
 
     sizes = [(CAM, CAM)] * 6
     t0 = time.time()
-    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "float32")
+    # bf16 pyramids are the 16-bit analogue of the reference's CV_16S
+    # GPU blend (blenders.cpp:594-736); the Pallas kernel emits bf16
+    # tiles directly so no XLA convert ever fuses into the untile
+    # product (the round-1 fault).  Library default stays float32.
+    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "bfloat16")
     mapper = Mapper(
         mt, sizes, blend=BLEND, enable_gain=True, blend_dtype=blend_dtype
     )

@@ -707,6 +707,23 @@ def merge_remap_plans(
     }
     valid_g = valid[keep]
 
+    # Visit tiles in (img, by, bx) order instead of canvas scan order:
+    # Pallas skips a window-block fetch only when the ref's block index
+    # is unchanged from the previous grid step, and consecutive canvas
+    # tiles rarely share windows (bx shifts every tile).  Sorting groups
+    # identical windows together — measured 2.1 -> 0.46 GB of window DMA
+    # per 4K 6-cam frame.  Output placement is slot-indirect, so grid
+    # order is free to permute.
+    order = np.lexsort((bx_g, by2_g, by_g, img_g))
+    slot = slot[order]
+    img_g = img_g[order]
+    by_g = by_g[order]
+    bx_g = bx_g[order]
+    by2_g = by2_g[order]
+    rng_g = rng_g[order]
+    per_tile = {f: a[order] for f, a in per_tile.items()}
+    valid_g = valid_g[order]
+
     if pad_grid_nt is not None:
         assert pad_grid_nt >= grid_nt
         extra = pad_grid_nt - grid_nt
