@@ -26,6 +26,12 @@ Design (maps are static per template):
 * Pixels whose window would exceed the 2x2 block group (extreme
   minification tiles) are zero-weighted in-kernel and patched by a tiny
   sparse XLA-gather residual pass.
+* Batched (whole-template) grids visit tiles in (img, by, bx) order and
+  pack G same-window tiles into each grid step: the per-step fixed cost
+  (~450 ns grid bookkeeping + ~40 ns per buffer DMA issue) dominated the
+  kernel at one tile/step — on the 4K 6-cam rig 11 084 tiles share only
+  1 402 distinct windows.  Per-tile operands ride in two packed refs and
+  sentinel indices replace the valid-mask ref (see BatchedRemapPlan).
 """
 
 from dataclasses import dataclass
@@ -313,13 +319,11 @@ def pallas_remap_plan(
     )
 
 
-def _kernel(KH, KW, nb, batched=False):
-    """nb = KW // 128 blocks per window half; window refs are one
+def _kernel(KH, KW, nb):
+    """Single-input kernel (unbatched path, used when camera sizes
+    differ).  nb = KW // 128 blocks per window half; window refs are one
     (KH, 128) blocked ref per (row-half, column-block) — Mosaic rejects
-    lane-offset slicing, so every column block is its own ref.  In
-    batched mode the refs carry a leading image axis selected per tile
-    by a scalar-prefetched image index (all inputs share ONE kernel —
-    one Mosaic compile per template instead of one per input).
+    lane-offset slicing, so every column block is its own ref.
 
     Loop structure: one short fori_loop per (column block, vertical
     half) with per-tile scalar row bounds; all four bilinear tap
@@ -332,12 +336,8 @@ def _kernel(KH, KW, nb, batched=False):
     CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
 
     def kern(*args):
-        ns = 6 if batched else 4
-        if batched:
-            # slot_s only drives the output index_map
-            (img_s, by_s, bx_s, by2_s, rng_s, slot_s) = args[:6]
-        else:
-            (by_s, bx_s, by2_s, rng_s) = args[:4]
+        ns = 4
+        (by_s, bx_s, by2_s, rng_s) = args[:4]
         (oy0, oy1, ox0, ox1, fx, fy, valid) = args[ns : ns + 7]
         wins = args[ns + 7 : ns + 7 + 4 * nb]  # half0 blocks, then half1
         out_r, out_g, out_b = args[ns + 7 + 4 * nb : ns + 10 + 4 * nb]
@@ -377,10 +377,7 @@ def _kernel(KH, KW, nb, batched=False):
                 # ALU slack that was idle anyway.
                 def body(c, accs, win=win, base=base, a0=a0, a1=a1):
                     ar, ag, ab = accs
-                    if batched:
-                        rowc = win[0, pl.ds(c * CHUNK, CHUNK), :]
-                    else:
-                        rowc = win[pl.ds(c * CHUNK, CHUNK), :]
+                    rowc = win[pl.ds(c * CHUNK, CHUNK), :]
                     for r in range(CHUNK):
                         rep = jnp.broadcast_to(rowc[r : r + 1, :], (TH, TW))
                         s0 = jnp.take_along_axis(rep, l0, axis=1)
@@ -533,51 +530,52 @@ def pallas_remap_apply(packed, plan: PallasRemapPlan, interpret=False):
 class BatchedRemapPlan:
     """Concatenation of per-input PallasRemapPlans sharing (KH, KW) and
     input size, plus a per-tile image index -- one kernel serves every
-    input of a template."""
+    input of a template.
+
+    Grid steps carry G output tiles each (all sharing one identical
+    window, guaranteed at build time): the per-step fixed cost — ~450 ns
+    of grid bookkeeping plus ~40 ns per buffer DMA issue, measured — was
+    HALF the kernel wall time at one tile per step (11.6 of 22.1 ms on
+    the 4K 6-cam rig, where 11 084 tiles share only 1 402 distinct
+    windows).  Per-tile operands are bit-packed into two refs (oy0|oy1,
+    ox0|ox1 int16 pairs; fx/fy stacked on sublanes) and invalid pixels
+    carry a sentinel row index that can never match the fan row, which
+    removes the `valid` ref and multiply."""
 
     in_shape: tuple
     KH: int
     KW: int
     nt: int  # total tiles (canvas layout, including empty ones)
-    grid_nt: int  # tiles the kernel actually visits (empty ones dropped)
-    nt_out: int  # output tile slots (nt, or nt+1 with a scratch slot)
+    grid_nt: int  # grid steps (G tiles each; empty tiles dropped)
+    G: int  # output tiles per grid step (same window)
     out_shapes: tuple  # per input (rh, rw)
     tile_offsets: tuple  # per input start index into the tile axis
     patches: tuple  # per input (ph, pw) canvas footprint of a tile
-    slot: object  # [grid_nt] i32 output tile index per grid step
+    g2c: object  # [nt] i32 flat grid position (t*G+g) per canvas tile
     tmask: object  # [nt] f32 1 where a tile is computed, 0 for dropped
     img: object  # [grid_nt] i32
-    by: object
+    by: object  # [grid_nt] i32
     bx: object
     by2: object
-    rng: object
-    oy0: object
-    oy1: object
-    ox0: object
-    ox1: object
-    fx: object
-    fy: object
-    valid: object
+    rng: object  # [grid_nt * G * 2nb] i32, lo | hi<<16
+    oyx: object  # [grid_nt, G, 16, 128] i32: rows 0-7 oy0|oy1<<16,
+    #              rows 8-15 ox0|ox1<<16; sentinel 0x7FFF7FFF = skip
+    fxy: object  # [grid_nt, G, 16, 128] f32: rows 0-7 fx, 8-15 fy
     res: tuple  # per input (res_out, res_idx, res_w)
 
 
 register_plan(
     BatchedRemapPlan,
     children=(
-        "slot",
+        "g2c",
         "tmask",
         "img",
         "by",
         "bx",
         "by2",
         "rng",
-        "oy0",
-        "oy1",
-        "ox0",
-        "ox1",
-        "fx",
-        "fy",
-        "valid",
+        "oyx",
+        "fxy",
         "res",
     ),
     static=(
@@ -586,12 +584,107 @@ register_plan(
         "KW",
         "nt",
         "grid_nt",
-        "nt_out",
+        "G",
         "out_shapes",
         "tile_offsets",
         "patches",
     ),
 )
+
+
+SENTINEL = 0x7FFF7FFF  # oy/ox pack value that matches no fan row/block
+
+
+def _kernel_grouped(KH, KW, nb, G):
+    """Batched kernel: one grid step = G output tiles sharing one
+    window.  Same row fan as _kernel per sub-tile; per-tile operands
+    unpack from the two packed refs; no valid ref (sentinel indices
+    yield zero weights)."""
+
+    CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
+
+    def kern(*args):
+        (img_s, by_s, bx_s, by2_s, rng_s) = args[:5]
+        oyx, fxy = args[5:7]
+        wins = args[7 : 7 + 4 * nb]
+        out_r, out_g, out_b = args[7 + 4 * nb : 10 + 4 * nb]
+
+        t = pl.program_id(0)
+        for g in range(G):
+            oyp = oyx[0, g, :TH, :]
+            oxp = oyx[0, g, TH:, :]
+            oy0v = oyp & 0xFFFF
+            oy1v = (oyp >> 16) & 0xFFFF
+            ox0v = oxp & 0xFFFF
+            ox1v = (oxp >> 16) & 0xFFFF
+            fxv = fxy[0, g, :TH, :]
+            fyv = fxy[0, g, TH:, :]
+
+            b0 = ox0v >> 7
+            l0 = ox0v & 127
+            b1 = ox1v >> 7
+            l1 = ox1v & 127
+            zero = jnp.zeros((TH, TW), dtype=jnp.float32)
+            wy0 = 1.0 - fyv
+            wy1 = fyv
+
+            accs = (zero, zero, zero)
+            for b in range(2 * nb):
+                a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
+                a1 = jnp.where(b1 == b, fxv, 0.0)
+                v = rng_s[(t * G + g) * (2 * nb) + b]
+                lo_b = v & 0xFFFF
+                hi_b = v >> 16
+                for h in range(2):
+                    win = wins[h * 2 * nb + b]
+                    base = h * KH
+
+                    def body(c, accs, win=win, base=base, a0=a0, a1=a1):
+                        ar, ag, ab = accs
+                        rowc = win[0, pl.ds(c * CHUNK, CHUNK), :]
+                        for r in range(CHUNK):
+                            rep = jnp.broadcast_to(
+                                rowc[r : r + 1, :], (TH, TW)
+                            )
+                            s0 = jnp.take_along_axis(rep, l0, axis=1)
+                            s1 = jnp.take_along_axis(rep, l1, axis=1)
+                            k = c * CHUNK + r + base
+                            wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
+                                oy1v == k, wy1, 0.0
+                            )
+                            w0 = wk * a0
+                            w1 = wk * a1
+                            ar = (
+                                ar
+                                + (s0 & 0xFF).astype(jnp.float32) * w0
+                                + (s1 & 0xFF).astype(jnp.float32) * w1
+                            )
+                            ag = (
+                                ag
+                                + ((s0 >> 8) & 0xFF).astype(jnp.float32) * w0
+                                + ((s1 >> 8) & 0xFF).astype(jnp.float32) * w1
+                            )
+                            ab = (
+                                ab
+                                + (s0 >> 16).astype(jnp.float32) * w0
+                                + (s1 >> 16).astype(jnp.float32) * w1
+                            )
+                        return (ar, ag, ab)
+
+                    lo_h = jnp.maximum(lo_b, base) - base
+                    hi_h = jnp.minimum(hi_b, base + KH) - base
+                    accs = jax.lax.fori_loop(
+                        lo_h // CHUNK,
+                        (hi_h + CHUNK - 1) // CHUNK,
+                        body,
+                        accs,
+                    )
+
+            out_r[0, g] = accs[0].astype(out_r.dtype)
+            out_g[0, g] = accs[1].astype(out_g.dtype)
+            out_b[0, g] = accs[2].astype(out_b.dtype)
+
+    return kern
 
 
 def _patch_row_cost(map1, map2, in_h, in_w, patch):
@@ -647,17 +740,20 @@ def merge_remap_plans(
     force_patches=None,
     pad_grid_nt=None,
     pad_res=None,
+    group=None,
 ):
     """maps: list of (map1, map2).  Picks each input's tile patch shape,
     builds per-input plans with common (KH, KW), concatenates them into
-    one BatchedRemapPlan.
+    one BatchedRemapPlan whose grid steps carry ``group`` same-window
+    tiles each (``group=None`` picks G from the window-sharing
+    distribution).
 
-    The ``force_*``/``pad_*`` arguments homogenize plans built from
-    different map sets so they can be stacked on a leading shard axis
-    for ``shard_map`` (every static field equal, every leaf the same
-    shape): ``pad_grid_nt`` pads the kernel grid with no-op steps that
-    write a scratch output slot; ``pad_res`` (per-input lengths) pads
-    the sparse residual lists with zero-weight entries."""
+    The ``force_*``/``pad_*``/``group`` arguments homogenize plans built
+    from different map sets so they can be stacked on a leading shard
+    axis for ``shard_map`` (every static field equal, every leaf the
+    same shape): ``pad_grid_nt`` pads the kernel grid with no-op steps;
+    ``pad_res`` (per-input lengths) pads the sparse residual lists with
+    zero-weight entries."""
     patches = force_patches or choose_patches(maps, in_h, in_w)
     if force_kh is None or force_kw is None:
         probes = [
@@ -685,17 +781,15 @@ def merge_remap_plans(
 
     valid = cat("valid")
     # drop fully-empty tiles from the grid (wrap-around cameras leave
-    # ~30% of their ROI tiles blank; each still costs 4*nb window-block
-    # fetches) — a slot map places computed tiles back into the canvas
-    # layout, and tmask zeroes the never-written slots after the call
+    # ~30% of their ROI tiles blank; each still costs a full grid step)
+    # — g2c places computed tiles back into the canvas layout, and
+    # tmask zeroes the never-written ones after the call
     keep = valid.reshape(start, -1).sum(axis=1) > 0
-    slot = np.nonzero(keep)[0].astype(np.int32)
+    canvas_idx = np.nonzero(keep)[0].astype(np.int64)
     tmask = keep.astype(np.float32)
     nb = KW // TW
     rng2 = cat("rng").reshape(start, 2 * nb)
 
-    grid_nt = int(slot.shape[0])
-    nt_out = start
     img_g = np.concatenate(img)[keep]
     by_g = cat("by")[keep]
     bx_g = cat("bx")[keep]
@@ -708,14 +802,10 @@ def merge_remap_plans(
     valid_g = valid[keep]
 
     # Visit tiles in (img, by, bx) order instead of canvas scan order:
-    # Pallas skips a window-block fetch only when the ref's block index
-    # is unchanged from the previous grid step, and consecutive canvas
-    # tiles rarely share windows (bx shifts every tile).  Sorting groups
-    # identical windows together — measured 2.1 -> 0.46 GB of window DMA
-    # per 4K 6-cam frame.  Output placement is slot-indirect, so grid
-    # order is free to permute.
+    # consecutive grid steps then share identical windows (no block
+    # refetch) and same-window tiles can share one grid step.
     order = np.lexsort((bx_g, by2_g, by_g, img_g))
-    slot = slot[order]
+    canvas_idx = canvas_idx[order]
     img_g = img_g[order]
     by_g = by_g[order]
     bx_g = bx_g[order]
@@ -724,24 +814,89 @@ def merge_remap_plans(
     per_tile = {f: a[order] for f, a in per_tile.items()}
     valid_g = valid_g[order]
 
+    # ---- group same-window tiles into grid steps of G tiles
+    nk = canvas_idx.shape[0]
+    key = (
+        (img_g.astype(np.int64) * (1 << 20) + by_g) * (1 << 20) + by2_g
+    ) * (1 << 20) + bx_g
+    change = np.concatenate([[True], key[1:] != key[:-1]])
+    gid = np.cumsum(change) - 1
+    counts = np.bincount(gid) if nk else np.zeros(0, np.int64)
+    if group is None:
+        # per-step fixed cost ~ (base + per-ref DMA issues) + G fan-loop
+        # setups; measured ~750 ns + ~110 ns/G on v5e
+        best = None
+        for cand in (1, 2, 4, 6, 8):
+            steps_c = int(np.ceil(counts / cand).sum())
+            cost = steps_c * (750 + 110 * cand)
+            if best is None or cost < best[0]:
+                best = (cost, cand)
+        group = best[1] if nk else 1
+    G = int(group)
+
+    # flat position of tile j within the grouped grid
+    pos_in_group = np.arange(nk) - np.concatenate(
+        [[0], np.cumsum(counts)[:-1]]
+    )[gid] if nk else np.zeros(0, np.int64)
+    step_in_group = pos_in_group // G
+    gslot = pos_in_group % G
+    # step index: cumulative steps of previous groups + step_in_group
+    steps_per_group = np.ceil(counts / G).astype(np.int64)
+    group_step0 = np.concatenate([[0], np.cumsum(steps_per_group)[:-1]])
+    step = group_step0[gid] + step_in_group if nk else np.zeros(0, np.int64)
+    grid_nt = int(steps_per_group.sum())
+
+    # per-step window scalars (first tile of each step)
+    first = np.zeros(grid_nt, dtype=np.int64)
+    first[step[::-1]] = np.arange(nk)[::-1]  # any member works; take min
+    img_s = img_g[first]
+    by_s = by_g[first]
+    bx_s = bx_g[first]
+    by2_s = by2_g[first]
+
+    # packed per-(step, g) operands; sentinel everywhere a slot is
+    # unoccupied or a pixel is not kernel-covered
+    oyx = np.full((grid_nt, G, 2 * TH, TW), SENTINEL, dtype=np.int32)
+    fxy = np.zeros((grid_nt, G, 2 * TH, TW), dtype=np.float32)
+    rng_st = np.zeros((grid_nt, G, 2 * nb), dtype=np.int32)
+    cov = valid_g  # [nk, 8, 128], already in grid order
+    oy_pack = np.where(
+        cov > 0,
+        per_tile["oy0"].astype(np.int32)
+        | (per_tile["oy1"].astype(np.int32) << 16),
+        SENTINEL,
+    )
+    ox_pack = np.where(
+        cov > 0,
+        per_tile["ox0"].astype(np.int32)
+        | (per_tile["ox1"].astype(np.int32) << 16),
+        SENTINEL,
+    )
+    oyx[step, gslot, :TH] = oy_pack
+    oyx[step, gslot, TH:] = ox_pack
+    fxy[step, gslot, :TH] = per_tile["fx"]
+    fxy[step, gslot, TH:] = per_tile["fy"]
+    rng_st[step, gslot] = rng_g
+
+    g2c = np.zeros(start, dtype=np.int32)
+    g2c[canvas_idx] = (step * G + gslot).astype(np.int32)
+
     if pad_grid_nt is not None:
         assert pad_grid_nt >= grid_nt
         extra = pad_grid_nt - grid_nt
-        nt_out = start + 1  # scratch slot for the no-op pad steps
 
         def padg(a, fill=0):
             return np.concatenate(
                 [a, np.full((extra,) + a.shape[1:], fill, dtype=a.dtype)]
             )
 
-        slot = padg(slot, fill=start)  # -> scratch
-        img_g = padg(img_g)
-        by_g = padg(by_g)
-        bx_g = padg(bx_g)
-        by2_g = padg(by2_g)
-        rng_g = padg(rng_g)  # lo == hi == 0 -> empty row loops
-        per_tile = {f: padg(a) for f, a in per_tile.items()}
-        valid_g = padg(valid_g)
+        img_s = padg(img_s)
+        by_s = padg(by_s)
+        bx_s = padg(bx_s)
+        by2_s = padg(by2_s)
+        rng_st = padg(rng_st)  # lo == hi == 0 -> empty row loops
+        oyx = padg(oyx, fill=SENTINEL)
+        fxy = padg(fxy)
         grid_nt = pad_grid_nt
 
     res = []
@@ -769,24 +924,19 @@ def merge_remap_plans(
         KW=KW,
         nt=start,
         grid_nt=grid_nt,
-        nt_out=nt_out,
+        G=G,
         out_shapes=tuple(p.out_shape for p in plans),
         tile_offsets=tuple(offs),
         patches=tuple(p.patch for p in plans),
-        slot=slot,
+        g2c=g2c,
         tmask=tmask,
-        img=img_g,
-        by=by_g,
-        bx=bx_g,
-        by2=by2_g,
-        rng=rng_g.reshape(-1),
-        oy0=per_tile["oy0"],
-        oy1=per_tile["oy1"],
-        ox0=per_tile["ox0"],
-        ox1=per_tile["ox1"],
-        fx=per_tile["fx"],
-        fy=per_tile["fy"],
-        valid=valid_g,
+        img=img_s.astype(np.int32),
+        by=by_s.astype(np.int32),
+        bx=bx_s.astype(np.int32),
+        by2=by2_s.astype(np.int32),
+        rng=rng_st.reshape(-1),
+        oyx=oyx,
+        fxy=fxy,
         res=tuple(res),
     )
 
@@ -803,7 +953,7 @@ def pallas_remap_apply_batched(
     input in ``out_dtype`` ("float32" or "bfloat16"; accumulation is
     always f32 in-kernel, only the store is cast)."""
     in_h, in_w = plan.in_shape
-    KH, KW, nt = plan.KH, plan.KW, plan.nt
+    KH, KW, nt, G = plan.KH, plan.KW, plan.nt, plan.G
     nb = KW // TW
 
     hp_in = -(-in_h // KH) * KH
@@ -814,16 +964,16 @@ def pallas_remap_apply_batched(
         )
 
     tile_spec = pl.BlockSpec(
-        (1, TH, TW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        (1, G, 2 * TH, TW), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, TH, TW),
-        lambda t, img_s, by_s, bx_s, by2_s, rng_s, slot_s: (slot_s[t], 0, 0),
+        (1, G, TH, TW),
+        lambda t, *_: (t, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     def win_spec(sy, c):
-        def imap(t, img_s, by_s, bx_s, by2_s, rng_s, slot_s):
+        def imap(t, img_s, by_s, bx_s, by2_s, rng_s):
             yy = by2_s[t] if sy else by_s[t]
             return (img_s[t], yy, bx_s[t] + c)
 
@@ -833,15 +983,15 @@ def pallas_remap_apply_batched(
         win_spec(1, c) for c in range(2 * nb)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(plan.grid_nt,),
-        in_specs=[tile_spec] * 7 + win_specs,
+        in_specs=[tile_spec, tile_spec] + win_specs,
         out_specs=[out_spec, out_spec, out_spec],
     )
     odt = jnp.dtype(out_dtype)
-    shape = jax.ShapeDtypeStruct((plan.nt_out, TH, TW), odt)
+    shape = jax.ShapeDtypeStruct((plan.grid_nt, G, TH, TW), odt)
     r, g, b = pl.pallas_call(
-        _kernel(KH, KW, nb, batched=True),
+        _kernel_grouped(KH, KW, nb, G),
         grid_spec=grid_spec,
         out_shape=[shape, shape, shape],
         interpret=interpret,
@@ -851,25 +1001,19 @@ def pallas_remap_apply_batched(
         plan.bx,
         plan.by2,
         plan.rng,
-        plan.slot,
-        plan.oy0,
-        plan.oy1,
-        plan.ox0,
-        plan.ox1,
-        plan.fx,
-        plan.fy,
-        plan.valid,
+        plan.oyx,
+        plan.fxy,
         *([packed_stack] * (4 * nb)),
     )
-    # zero the tiles the grid never visited (dropped empty tiles);
-    # where, not multiply — the unwritten slots can hold NaNs.  The
-    # scratch slot (index nt, present when the grid was padded) is
-    # dropped by the [:nt] slice.
+    # outputs are in grid order [steps*G]; g2c gathers them back into
+    # canvas tile order, tmask zeroes the dropped (never-computed)
+    # tiles — where, not multiply, since slot 0 holds real data
     zero = jnp.zeros((), dtype=odt)
+    g2c = jnp.asarray(plan.g2c)
     tm = jnp.asarray(plan.tmask)[:, None, None] > 0
-    r = jnp.where(tm, r[: plan.nt], zero)
-    g = jnp.where(tm, g[: plan.nt], zero)
-    b = jnp.where(tm, b[: plan.nt], zero)
+    r = jnp.where(tm, jnp.take(r.reshape(-1, TH, TW), g2c, axis=0), zero)
+    g = jnp.where(tm, jnp.take(g.reshape(-1, TH, TW), g2c, axis=0), zero)
+    b = jnp.where(tm, jnp.take(b.reshape(-1, TH, TW), g2c, axis=0), zero)
 
     outs = []
     for i, (rh, rw) in enumerate(plan.out_shapes):

@@ -270,6 +270,21 @@ def build_sharded_plan(
         )
         for bm in band_maps
     ]
+    # common tiles-per-step group G, then pad to the max step count so
+    # every shard's plan stacks leaf-wise
+    Gc = max(p.G for p in shard_plans)
+    shard_plans = [
+        merge_remap_plans(
+            bm,
+            Hf,
+            Wf,
+            force_kh=KH,
+            force_kw=KW,
+            force_patches=patches,
+            group=Gc,
+        )
+        for bm in band_maps
+    ]
     pad_grid = max(p.grid_nt for p in shard_plans)
     pad_res = [
         max(p.res[i][0].shape[0] for p in shard_plans)
@@ -283,6 +298,7 @@ def build_sharded_plan(
             force_kh=KH,
             force_kw=KW,
             force_patches=patches,
+            group=Gc,
             pad_grid_nt=pad_grid,
             pad_res=pad_res,
         )
