@@ -89,15 +89,32 @@ def _box2(c):
     return (cr[:, 0::2] + cr[:, 1::2]) * 0.5
 
 
-def rgb_planar_to_yuv420p(rgb):
+def down_cols_matrix(w):
+    """[w, w/2] column 2x box-mean matrix: the lane-strided half of the
+    chroma subsample relayouts well below peak on TPU; the equivalent
+    MXU matmul is faster.  Pass the result as ``down_cols``."""
+    import numpy as np
+
+    M = np.zeros((w, w // 2), dtype=np.float32)
+    M[np.arange(w), np.arange(w) // 2] = 0.5
+    return M
+
+
+def rgb_planar_to_yuv420p(rgb, down_cols=None):
     """Planar RGB float [3, H, W] in [0,255] -> packed YUV420P uint8
-    [H*3/2, W].  Chroma box-averaged 2x2 before subsampling."""
+    [H*3/2, W].  Chroma box-averaged 2x2 before subsampling.
+    ``down_cols`` (from down_cols_matrix) routes the chroma column
+    subsample through the MXU."""
     r, g, b = rgb[0], rgb[1], rgb[2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    sub = _box2
+    if down_cols is None:
+        sub = _box2
+    else:
+        def sub(c):
+            return ((c[0::2] + c[1::2]) * 0.5) @ down_cols
 
     yq = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
     uq = jnp.clip(jnp.round(sub(u)), 0, 255).astype(jnp.uint8)

@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy.ndimage import distance_transform_edt
 
 from ..ops.color import (
+    down_cols_matrix,
     rgb_planar_to_yuv420p,
     split_yuv420p,
     up_cols_matrix,
@@ -90,7 +91,7 @@ class ShardedPlan:
     remap: object = None  # BatchedRemapPlan with [S, ...] leaves
     feather_w: object = None  # [S, ncam, ext, Wp] f32
     weight_pyrs: Optional[List] = None  # per level: [S, ncam, ext>>l, Wp>>l]
-    band_weights: Optional[List] = None  # per level: [S, ext>>l, Wp>>l]
+    inv_band_weights: Optional[List] = None  # per level: [S, ext>>l, Wp>>l]
     gm_i: object = None  # [S, P, gh, gw] f32 pair masks (image i side)
     gm_j: object = None  # [S, P, gh, gw] f32
     overlay_masks: object = None  # [S, nov, bh, Wp] f32
@@ -99,6 +100,8 @@ class ShardedPlan:
     gain_b: object = None  # [ncam] f32
     gain_A_static: object = None  # [ncam, ncam] f32
     chroma_up: object = None  # [Wf/2, Wf] f32 MXU chroma upsample
+    chroma_down: object = None  # [Wp, Wp/2] f32 MXU chroma subsample
+    pool_cols: object = None  # [Wp, Wp/stride] MXU gain-pool matrix
     down_mats: dict = field(default_factory=dict)  # {n: [n/2, n]}
     up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
 
@@ -109,7 +112,7 @@ register_plan(
         "remap",
         "feather_w",
         "weight_pyrs",
-        "band_weights",
+        "inv_band_weights",
         "gm_i",
         "gm_j",
         "overlay_masks",
@@ -117,6 +120,8 @@ register_plan(
         "gain_b",
         "gain_A_static",
         "chroma_up",
+        "chroma_down",
+        "pool_cols",
         "down_mats",
         "up_mats",
     ),
@@ -144,7 +149,7 @@ _SPACE_FIELDS = (
     "remap",
     "feather_w",
     "weight_pyrs",
-    "band_weights",
+    "inv_band_weights",
     "gm_i",
     "gm_j",
     "overlay_masks",
@@ -373,12 +378,14 @@ def build_sharded_plan(
             )
             for l in range(B + 1)
         ]
-        plan.band_weights = [
+        plan.inv_band_weights = [
             np.stack([band_slice(bw[l], s, level=l) for s in range(S)])
             for l in range(B + 1)
         ]
         for l in range(B + 1):
-            plan.band_weights[l] = np.maximum(plan.band_weights[l], WEIGHT_EPS)
+            plan.inv_band_weights[l] = (
+                1.0 / np.maximum(plan.inv_band_weights[l], WEIGHT_EPS)
+            ).astype(np.float32)
         # MXU banded matrices for every axis length the blend touches
         down_mats, up_mats = {}, {}
         lengths = set()
@@ -460,6 +467,11 @@ def build_sharded_plan(
             vigs.append(np.ones((Hf, Wf), dtype=np.float32))
     plan.vignette = np.stack(vigs)
     plan.chroma_up = up_cols_matrix(Wf // 2)
+    plan.chroma_down = down_cols_matrix(Wp)
+    if stride > 1:
+        from ..stitch.mapper import _pool_cols_matrix
+
+        plan.pool_cols = _pool_cols_matrix(Wp, stride)
 
     return plan
 
@@ -502,7 +514,9 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         norms = []
         for i in range(ncam):
             wimg = _pool_pow2(
-                warped[i][:, halo : halo + bh].astype(jnp.float32), st
+                warped[i][:, halo : halo + bh].astype(jnp.float32),
+                st,
+                col_mat=plan.pool_cols,
             )
             norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
         sums = []
@@ -563,7 +577,7 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
                 lap = gauss[l] - up(gauss[l + 1]) if l < B else gauss[B]
                 dst[l] = dst[l] + lap * plan.weight_pyrs[l][i][None]
         for l in range(B + 1):
-            dst[l] = dst[l] / plan.band_weights[l][None]
+            dst[l] = dst[l] * plan.inv_band_weights[l][None]
         band = dst[B]
         for l in range(B - 1, -1, -1):
             band = up(band) + dst[l]
@@ -584,7 +598,7 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     interior = jnp.clip(interior, 0.0, 255.0)
     if out_format == "rgb":
         return interior, gains
-    return rgb_planar_to_yuv420p(interior), gains
+    return rgb_planar_to_yuv420p(interior, down_cols=plan.chroma_down), gains
 
 
 class ShardedMapper:

@@ -113,7 +113,10 @@ class MultiBandPlan:
     align_rois: List[tuple]  # per-image padded rois, 2^bands aligned
     align_result_roi: tuple
     weight_pyrs: List[List[np.ndarray]]  # per image, per level
-    band_weights: List[np.ndarray]  # per level (canvas-aligned size)
+    # per level RECIPROCAL total band weight (canvas-aligned size): the
+    # per-frame normalization is a multiply, not a divide (a vector
+    # divide is multi-op on the VPU and this array is canvas-sized)
+    inv_band_weights: List[np.ndarray]
     # banded pyramid matrices per axis length (MXU path): {n: [n/2, n]}
     down_mats: dict = field(default_factory=dict)
     up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
@@ -122,7 +125,7 @@ class MultiBandPlan:
 
 register_plan(
     MultiBandPlan,
-    children=("weight_pyrs", "band_weights", "down_mats", "up_mats"),
+    children=("weight_pyrs", "inv_band_weights", "down_mats", "up_mats"),
     static=(
         "num_bands",
         "rois",
@@ -212,6 +215,7 @@ def build_multiband_plan(
         raise ValueError(
             f"multiband dtype must be 'float32' or 'bfloat16', got {dtype!r}"
         )
+    inv_band_weights = [(1.0 / b).astype(np.float32) for b in band_weights]
     if dtype == "bfloat16":
         # bf16 has no native numpy dtype; go through ml_dtypes (ships
         # with jax)
@@ -219,7 +223,7 @@ def build_multiband_plan(
 
         bd = np.dtype(ml_dtypes.bfloat16)
         weight_pyrs = [[p.astype(bd) for p in pyr] for pyr in weight_pyrs]
-        band_weights = [b.astype(bd) for b in band_weights]
+        inv_band_weights = [b.astype(bd) for b in inv_band_weights]
         down_mats = {k: v.astype(bd) for k, v in down_mats.items()}
         up_mats = {k: v.astype(bd) for k, v in up_mats.items()}
 
@@ -229,7 +233,7 @@ def build_multiband_plan(
         align_rois=align_rois,
         align_result_roi=align_result_roi,
         weight_pyrs=weight_pyrs,
-        band_weights=band_weights,
+        inv_band_weights=inv_band_weights,
         down_mats=down_mats,
         up_mats=up_mats,
         compute_dtype=dtype,
@@ -296,7 +300,7 @@ def multiband_blend(plan: MultiBandPlan, imgs, canvas_size):
             ].add(contrib)
 
     for i in range(B + 1):
-        dst_pyr[i] = dst_pyr[i] / jnp.asarray(plan.band_weights[i])[None]
+        dst_pyr[i] = dst_pyr[i] * jnp.asarray(plan.inv_band_weights[i])[None]
 
     acc = dst_pyr[B]
     for i in range(B - 1, -1, -1):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.color import (
+    down_cols_matrix,
     merge_nv12,
     merge_yuv420p,
     rgb_planar_to_yuv420p,
@@ -52,16 +53,31 @@ WORKING_MEGAPIX = 0.1  # mapper.cpp:43
 __all__ = ["Mapper", "StitchPlan"]
 
 
-def _pool_pow2(x, s):
-    """[C, H, W] -> [C, H/s, W/s] box mean, s a power of two, via log2(s)
-    strided-add halvings (lane-splitting reshapes relayout at ~1 GB/s on
-    TPU; strided slices of a reduction run ~11x faster, see ops/color
-    _box2)."""
+def _pool_pow2(x, s, col_mat=None):
+    """[C, H, W] -> [C, H/s, W/s] box mean, s a power of two.  Rows pool
+    via log2(s) strided-add halvings (sublane strides are fast); columns
+    pool via ``col_mat`` ([W, W/s] box-mean matrix, MXU) when given —
+    lane-strided slices relayout well below peak — else via strided
+    halvings (lane-splitting reshapes are worse still, ~1 GB/s)."""
+    if col_mat is not None:
+        s0 = s
+        while s0 > 1:
+            x = (x[:, 0::2, :] + x[:, 1::2, :]) * 0.5
+            s0 >>= 1
+        return x @ col_mat
     while s > 1:
         x = (x[:, 0::2, :] + x[:, 1::2, :]) * 0.5
         x = (x[:, :, 0::2] + x[:, :, 1::2]) * 0.5
         s >>= 1
     return x
+
+
+def _pool_cols_matrix(w, s):
+    """[w, w/s] box-mean pooling matrix for _pool_pow2's column step."""
+    M = np.zeros((w, w // s), dtype=np.float32)
+    cols = np.arange((w // s) * s)
+    M[cols, cols // s] = 1.0 / s
+    return M
 
 
 @dataclass
@@ -75,11 +91,12 @@ class _InputPlan:
     work_roi: tuple
     vignette: Optional[np.ndarray]  # f32 [H_in, W_in] or None
     mask: np.ndarray  # u8 roi-sized
+    pool_cols: object = None  # [ww*s, ww] MXU box-mean matrix
 
 
 register_plan(
     _InputPlan,
-    children=("remap", "vignette", "mask"),
+    children=("remap", "vignette", "mask", "pool_cols"),
     static=("roi", "work_sub", "work_roi"),
 )
 
@@ -96,6 +113,7 @@ class StitchPlan:
     blend_kind: str = "none"  # "multiband" | "feather" | "none"
     batched_remap: object = None  # BatchedRemapPlan when all sizes equal
     chroma_up: dict = field(default_factory=dict)  # width -> MXU upsample
+    chroma_down: object = None  # [W, W/2] MXU chroma subsample (output)
     working_scale: float = 1.0
 
 
@@ -109,6 +127,7 @@ register_plan(
         "blender",
         "batched_remap",
         "chroma_up",
+        "chroma_down",
     ),
     static=("canvas_size", "out_size", "blend_kind", "working_scale"),
 )
@@ -204,6 +223,11 @@ class Mapper:
                     resize_bilinear(inp.vignette, in_h, in_w)
                 ).astype(np.float32)
 
+            pool_cols = None
+            if work_sub is not None and stride > 1:
+                pool_cols = _pool_cols_matrix(
+                    work_sub[4] * stride, stride
+                )
             ip = _InputPlan(
                 roi=inp.roi,
                 remap=rp,
@@ -211,6 +235,7 @@ class Mapper:
                 work_roi=wroi,
                 vignette=vig,
                 mask=inp.mask,
+                pool_cols=pool_cols,
             )
             (plan.overlays if is_overlay else plan.inputs).append(ip)
 
@@ -227,6 +252,7 @@ class Mapper:
 
         for (in_h, in_w) in set(map(tuple, in_sizes)):
             plan.chroma_up[in_w] = up_cols_matrix(in_w // 2)
+        plan.chroma_down = down_cols_matrix(plan.out_size[0])
 
         if self._batch_remap:
             all_inputs = mt.inputs + mt.overlay_inputs
@@ -313,7 +339,7 @@ class Mapper:
                 wimg = w[:, oy : oy + wh * s, ox : ox + ww * s].astype(
                     jnp.float32
                 )
-                wimg = _pool_pow2(wimg, s)
+                wimg = _pool_pow2(wimg, s, col_mat=ip.pool_cols)
                 work_norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
 
         gains = None
@@ -374,7 +400,7 @@ class Mapper:
                     for c in range(3)
                 ]
             )
-        out = rgb_planar_to_yuv420p(canvas)
+        out = rgb_planar_to_yuv420p(canvas, down_cols=plan.chroma_down)
         if self.frame_format == "nv12":
             out = merge_nv12(*split_yuv420p(out))
         if gains is None:

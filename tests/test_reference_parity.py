@@ -264,7 +264,9 @@ def _pipeline_golden_f64(mapper, mt, frames):
             ox, oy = (ax - arx) >> i, (ay - ary) >> i
             dst[i][:, oy : oy + (ah >> i), ox : ox + (aw >> i)] += contrib
     for i in range(B + 1):
-        dst[i] = dst[i] / np.asarray(bl.band_weights[i], np.float64)[None]
+        # the jitted path multiplies by the plan's reciprocal weights;
+        # mirror that exactly in the golden
+        dst[i] = dst[i] * np.asarray(bl.inv_band_weights[i], np.float64)[None]
     acc = dst[B]
     for i in range(B - 1, -1, -1):
         acc = up(acc) + dst[i]
