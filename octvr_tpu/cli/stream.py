@@ -29,6 +29,14 @@ def main(argv=None):
     ap.add_argument("--inputs", required=True, help="comma-separated paths")
     ap.add_argument("--in_size", required=True, help="WxH of every input")
     ap.add_argument(
+        "--in_format",
+        default="yuv420p",
+        choices=("yuv420p", "uyvy"),
+        help="raw input pixel layout; uyvy = packed 4:2:2 (DeckLink SDI "
+        "capture, split per cudaimgproc splitUYVY + 4:2:0 chroma "
+        "row-average)",
+    )
+    ap.add_argument(
         "--outputs",
         required=True,
         help="template[:blend[:gain_mode]] per output, comma-separated",
@@ -58,7 +66,23 @@ def main(argv=None):
 
     w_in, h_in = (int(v) for v in args.in_size.lower().split("x"))
     in_paths = args.inputs.split(",")
-    readers = [FrameReader(p, w_in, h_in) for p in in_paths]
+    readers = [
+        FrameReader(p, w_in, h_in, fmt=args.in_format) for p in in_paths
+    ]
+
+    def to420(frame):
+        if args.in_format != "uyvy":
+            return frame
+        # numpy twin of ops.color.uyvy_to_yuv420p (host-side: keeps the
+        # device path identical for both input layouts)
+        quads = frame.reshape(h_in, w_in // 2, 4)
+        y = quads[..., 1::2].reshape(h_in, w_in)
+        u = quads[..., 0].astype(np.uint16)
+        v = quads[..., 2].astype(np.uint16)
+        u = ((u[0::2] + u[1::2] + 1) // 2).astype(np.uint8)
+        v = ((v[0::2] + v[1::2] + 1) // 2).astype(np.uint8)
+        bottom = np.concatenate([u, v], axis=1)
+        return np.concatenate([y, bottom], axis=0)
 
     mappers, gain_modes = [], []
     for k, spec in enumerate(args.outputs.split(",")):
@@ -117,8 +141,10 @@ def main(argv=None):
         write_preview(outs, n_popped)
         n_popped += 1
         if n_popped % 10 == 0:
+            # read-only: the drain thread already ticks the meter once
+            # per frame; ticking here too would double-count
             print(
-                f"# frame {n_popped}  fps {amm.fps.tick():.2f}",
+                f"# frame {n_popped}  fps {amm.fps.value():.2f}",
                 file=sys.stderr,
             )
 
@@ -130,7 +156,7 @@ def main(argv=None):
                 if item is None:
                     eof = True
                     break
-                frames.append(item[1])
+                frames.append(to420(item[1]))
             if eof:
                 break
             amm.push(frames)

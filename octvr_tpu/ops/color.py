@@ -22,6 +22,7 @@ __all__ = [
     "rgb_to_yuv420p",
     "split_uyvy",
     "merge_uyvy",
+    "uyvy_to_yuv420p",
 ]
 
 
@@ -160,6 +161,19 @@ def merge_uyvy(y, u, v):
     y2 = y.reshape(h, w // 2, 2)
     quads = jnp.stack([u, y2[..., 0], v, y2[..., 1]], axis=-1)
     return quads.reshape(h, w * 2)
+
+
+def uyvy_to_yuv420p(buf):
+    """Packed UYVY 4:2:2 ([H, W*2] or [H, W, 2] uint8, the DeckLink SDI
+    capture layout) -> packed YUV420P [H*3/2, W]: split per uyvy.cu
+    semantics, then box-average chroma row pairs down to 4:2:0."""
+    y, u, v = split_uyvy(buf)
+
+    def rows2(c):
+        ci = c.astype(jnp.int32)
+        return ((ci[0::2] + ci[1::2] + 1) >> 1).astype(jnp.uint8)
+
+    return merge_yuv420p(y, rows2(u), rows2(v))
 
 
 def split_nv12(buf):

@@ -741,6 +741,7 @@ def merge_remap_plans(
     pad_grid_nt=None,
     pad_res=None,
     group=None,
+    prebuilt_plans=None,
 ):
     """maps: list of (map1, map2).  Picks each input's tile patch shape,
     builds per-input plans with common (KH, KW), concatenates them into
@@ -753,22 +754,40 @@ def merge_remap_plans(
     axis for ``shard_map`` (every static field equal, every leaf the
     same shape): ``pad_grid_nt`` pads the kernel grid with no-op steps;
     ``pad_res`` (per-input lengths) pads the sparse residual lists with
-    zero-weight entries."""
-    patches = force_patches or choose_patches(maps, in_h, in_w)
-    if force_kh is None or force_kw is None:
-        probes = [
-            pallas_remap_plan(m1, m2, in_h, in_w, patch=p)
-            for (m1, m2), p in zip(maps, patches)
-        ]
-        force_kh = max(p.KH for p in probes)
-        force_kw = max(p.KW for p in probes)
-    KH, KW = force_kh, force_kw
-    plans = [
-        pallas_remap_plan(
-            m1, m2, in_h, in_w, force_kh=KH, force_kw=KW, patch=p
-        )
-        for (m1, m2), p in zip(maps, patches)
-    ]
+    zero-weight entries.
+
+    ``prebuilt_plans`` (from a previous call's ``.per_input_plans``
+    stash or built directly with :func:`pallas_remap_plan` at common
+    (KH, KW)) skips the expensive per-input plan builds — grouping and
+    padding are cheap, so homogenization passes can reuse them."""
+    if prebuilt_plans is not None:
+        plans = prebuilt_plans
+        KH, KW = plans[0].KH, plans[0].KW
+    else:
+        patches = force_patches or choose_patches(maps, in_h, in_w)
+        probes = None
+        if force_kh is None or force_kw is None:
+            probes = [
+                pallas_remap_plan(m1, m2, in_h, in_w, patch=p)
+                for (m1, m2), p in zip(maps, patches)
+            ]
+            force_kh = max(p.KH for p in probes)
+            force_kw = max(p.KW for p in probes)
+        KH, KW = force_kh, force_kw
+        # probe plans that already landed on the common (KH, KW) are the
+        # final plans — only rebuild the rest (each build is seconds at
+        # 4K canvas scale)
+        plans = []
+        for i, (m1, m2) in enumerate(maps):
+            if probes is not None and (probes[i].KH, probes[i].KW) == (KH, KW):
+                plans.append(probes[i])
+            else:
+                plans.append(
+                    pallas_remap_plan(
+                        m1, m2, in_h, in_w,
+                        force_kh=KH, force_kw=KW, patch=patches[i],
+                    )
+                )
     offs, img = [], []
     start = 0
     for i, p in enumerate(plans):
@@ -918,7 +937,7 @@ def merge_remap_plans(
                 )
         res.append((ro, ri, rw_))
 
-    return BatchedRemapPlan(
+    out_plan = BatchedRemapPlan(
         in_shape=(in_h, in_w),
         KH=KH,
         KW=KW,
@@ -939,6 +958,10 @@ def merge_remap_plans(
         fxy=fxy,
         res=tuple(res),
     )
+    # non-pytree stash: homogenization passes (sharded path) reuse the
+    # expensive per-input plans and only redo the cheap group/pad step
+    out_plan.per_input_plans = plans
+    return out_plan
 
 
 def getattr_cat(plans, field):

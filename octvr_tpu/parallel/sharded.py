@@ -87,6 +87,7 @@ class ShardedPlan:
     stride: int  # working-grid stride (gains), divides bh
     N: tuple  # gain pair counts, nested tuple
     pairs: tuple
+    compute_dtype: str = "float32"  # multiband pyramid precision
     # sharded constants, leading axis S
     remap: object = None  # BatchedRemapPlan with [S, ...] leaves
     feather_w: object = None  # [S, ncam, ext, Wp] f32
@@ -140,6 +141,7 @@ register_plan(
         "stride",
         "N",
         "pairs",
+        "compute_dtype",
     ),
 )
 
@@ -194,7 +196,12 @@ def build_sharded_plan(
     n_space: int,
     blend: int = 128,
     enable_gain: bool = True,
+    blend_dtype: str = "float32",
 ) -> ShardedPlan:
+    if blend_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"blend dtype must be 'float32' or 'bfloat16', got {blend_dtype!r}"
+        )
     W, H = mt.out_size
     ncam = len(mt.inputs)
     nov = len(mt.overlay_inputs)
@@ -225,6 +232,8 @@ def build_sharded_plan(
     Wp = _round_up(W, max(step, stride, 2))
     bh = Hp // n_space
     halo = 5 * (1 << B) if kind == "multiband" else 8
+    if n_space == 1:
+        halo = 0  # no neighbor bands: halo rows would be pure padding
     # halo must stay a multiple of 2^B for level alignment
     ext = bh + 2 * halo
     S = n_space
@@ -275,20 +284,15 @@ def build_sharded_plan(
         )
         for bm in band_maps
     ]
-    # common tiles-per-step group G, then pad to the max step count so
-    # every shard's plan stacks leaf-wise
+    # homogenize: common tiles-per-step group G, then pad to the max
+    # step count so every shard's plan stacks leaf-wise.  The per-input
+    # plans are reused (prebuilt_plans) — only the cheap group/pad
+    # assembly reruns.
+    per_input = [p.per_input_plans for p in shard_plans]
     Gc = max(p.G for p in shard_plans)
     shard_plans = [
-        merge_remap_plans(
-            bm,
-            Hf,
-            Wf,
-            force_kh=KH,
-            force_kw=KW,
-            force_patches=patches,
-            group=Gc,
-        )
-        for bm in band_maps
+        merge_remap_plans(bm, Hf, Wf, group=Gc, prebuilt_plans=pi)
+        for bm, pi in zip(band_maps, per_input)
     ]
     pad_grid = max(p.grid_nt for p in shard_plans)
     pad_res = [
@@ -300,14 +304,12 @@ def build_sharded_plan(
             bm,
             Hf,
             Wf,
-            force_kh=KH,
-            force_kw=KW,
-            force_patches=patches,
             group=Gc,
             pad_grid_nt=pad_grid,
             pad_res=pad_res,
+            prebuilt_plans=pi,
         )
-        for bm in band_maps
+        for bm, pi in zip(band_maps, per_input)
     ]
     remap = _stack_remap_plans(shard_plans)
 
@@ -398,6 +400,20 @@ def build_sharded_plan(
                 up_mats[nl >> 1] = up_matrix(nl >> 1)
         plan.down_mats = down_mats
         plan.up_mats = up_mats
+        if blend_dtype == "bfloat16":
+            # bf16 pyramid constants (same 16-bit role as the
+            # reference's CV_16S GPU pyramids); accumulation stays f32
+            # in the matmuls
+            import ml_dtypes
+
+            bd = np.dtype(ml_dtypes.bfloat16)
+            plan.weight_pyrs = [p.astype(bd) for p in plan.weight_pyrs]
+            plan.inv_band_weights = [
+                b.astype(bd) for b in plan.inv_band_weights
+            ]
+            plan.down_mats = {k: v.astype(bd) for k, v in down_mats.items()}
+            plan.up_mats = {k: v.astype(bd) for k, v in up_mats.items()}
+            plan.compute_dtype = "bfloat16"
 
     # ---- gain constants on the global working grid (exact Mapper
     # parity: same stride, same subsample origin, psum over 'space')
@@ -497,9 +513,17 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         rgb = jnp.clip(rgb * plan.vignette[i][None], 0.0, 255.0)
         packed.append(pack_rgb(rgb).reshape(rgb.shape[1], rgb.shape[2]))
 
+    # multiband-bf16 plans take bf16 straight out of the kernel (the
+    # store casts; no XLA convert on the untile product)
+    remap_dtype = (
+        plan.compute_dtype if plan.blend_kind == "multiband" else "float32"
+    )
     warped = list(
         pallas_remap_apply_batched(
-            jnp.stack(packed), plan.remap, interpret=interpret
+            jnp.stack(packed),
+            plan.remap,
+            interpret=interpret,
+            out_dtype=remap_dtype,
         )
     )  # per input [3, ext, Wp]
 
@@ -539,7 +563,12 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
             - 2.0 * ALPHA * I * I.T * Nf * off
         )
         gains = jnp.linalg.solve(A, plan.gain_b)
-        warped[:ncam] = [wd * gains[i] for i, wd in enumerate(warped[:ncam])]
+        # cast the scalar, not the image: f32*bf16 would promote the
+        # whole warped image back to f32
+        warped[:ncam] = [
+            wd * gains[i].astype(wd.dtype)
+            for i, wd in enumerate(warped[:ncam])
+        ]
 
     blend_imgs = warped[:ncam]
     if plan.blend_kind == "feather":
@@ -548,25 +577,30 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         )
     elif plan.blend_kind == "multiband":
         B = plan.num_bands
+        cdt = jnp.dtype(plan.compute_dtype)
 
         def down(z):
             _, hh, ww = z.shape
             if hh in plan.down_mats and ww in plan.down_mats:
-                return pyr_down_mm(z, plan.down_mats[hh], plan.down_mats[ww])
+                return pyr_down_mm(
+                    z, plan.down_mats[hh], plan.down_mats[ww]
+                ).astype(cdt)
             from ..ops.pyramid import pyr_down
 
-            return pyr_down(z)
+            return pyr_down(z.astype(jnp.float32)).astype(cdt)
 
         def up(z):
             _, hh, ww = z.shape
             if hh in plan.up_mats and ww in plan.up_mats:
-                return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww])
+                return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww]).astype(
+                    cdt
+                )
             from ..ops.pyramid import pyr_up
 
-            return pyr_up(z)
+            return pyr_up(z.astype(jnp.float32)).astype(cdt)
 
         dst = [
-            jnp.zeros((3, ext >> l, Wp >> l), dtype=jnp.float32)
+            jnp.zeros((3, ext >> l, Wp >> l), dtype=cdt)
             for l in range(B + 1)
         ]
         for i, wd in enumerate(blend_imgs):
@@ -587,7 +621,7 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         )
         band = sum(blend_imgs) / jnp.maximum(total, 1.0)
 
-    interior = band[:, halo : halo + bh]
+    interior = band[:, halo : halo + bh].astype(jnp.float32)
 
     # overlay paste (mapper.cpp:279-282 semantics)
     for k in range(plan.num_overlays):
@@ -616,13 +650,19 @@ class ShardedMapper:
         blend: int = 128,
         enable_gain: bool = True,
         out_format: str = "yuv420p",
+        blend_dtype: str = "float32",
     ):
         assert out_format in ("yuv420p", "rgb")
         self.mesh = mesh
         self.out_format = out_format
         S = mesh.shape["space"]
         self.plan = build_sharded_plan(
-            mt, in_sizes, S, blend=blend, enable_gain=enable_gain
+            mt,
+            in_sizes,
+            S,
+            blend=blend,
+            enable_gain=enable_gain,
+            blend_dtype=blend_dtype,
         )
         interpret = jax.devices()[0].platform != "tpu"
 

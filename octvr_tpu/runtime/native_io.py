@@ -55,14 +55,20 @@ def native_available():
 
 
 class FrameReader:
-    """Reads fixed-size raw YUV420P frames ([h*3/2, w] uint8) from a file
-    or pipe on a background (native) thread."""
+    """Reads fixed-size raw frames from a file or pipe on a background
+    (native) thread.  fmt: "yuv420p" ([h*3/2, w] uint8) or "uyvy"
+    (packed 4:2:2 [h, w*2] uint8, the DeckLink SDI capture layout)."""
 
-    def __init__(self, path, width, height, depth=4):
+    def __init__(self, path, width, height, depth=4, fmt="yuv420p"):
+        assert fmt in ("yuv420p", "uyvy")
         self.width = width
         self.height = height
-        self.frame_shape = (height * 3 // 2, width)
-        self.frame_size = self.frame_shape[0] * width
+        self.fmt = fmt
+        if fmt == "uyvy":
+            self.frame_shape = (height, width * 2)
+        else:
+            self.frame_shape = (height * 3 // 2, width)
+        self.frame_size = self.frame_shape[0] * self.frame_shape[1]
         lib = _load()
         self._native = bool(lib)
         if self._native:

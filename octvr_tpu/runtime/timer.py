@@ -36,6 +36,10 @@ class FpsMeter:
 
     def tick(self):
         self.times.append(time.perf_counter())
+        return self.value()
+
+    def value(self):
+        """Current rolling FPS without recording a frame (read-only)."""
         if len(self.times) < 2:
             return 0.0
         dt = self.times[-1] - self.times[0]

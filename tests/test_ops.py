@@ -119,3 +119,26 @@ def test_resize_matches_expectations():
     np.testing.assert_allclose(out, expect, atol=1e-5)
     near = resize_nearest(img, 2, 2)
     np.testing.assert_array_equal(near, [[0, 2], [8, 10]])
+
+
+def test_uyvy_to_yuv420p():
+    """4:2:2 capture -> 4:2:0 engine format: Y passthrough, chroma row
+    pairs round-to-nearest averaged (DeckLink input path; the stream
+    CLI's numpy twin must agree exactly)."""
+    rng = np.random.default_rng(11)
+    h, w = 8, 16
+    buf = rng.integers(0, 255, (h, w * 2), dtype=np.uint8)
+    from octvr_tpu.ops.color import split_uyvy, uyvy_to_yuv420p
+
+    out = np.asarray(uyvy_to_yuv420p(jnp.asarray(buf)))
+    y, u, v = (np.asarray(a) for a in split_uyvy(jnp.asarray(buf)))
+    assert np.array_equal(out[:h], y)
+    exp_u = (u[0::2].astype(np.uint16) + u[1::2] + 1) // 2
+    exp_v = (v[0::2].astype(np.uint16) + v[1::2] + 1) // 2
+    assert np.array_equal(out[h:, : w // 2], exp_u.astype(np.uint8))
+    assert np.array_equal(out[h:, w // 2 :], exp_v.astype(np.uint8))
+
+    # the stream CLI's host-side twin
+    quads = buf.reshape(h, w // 2, 4)
+    y2 = quads[..., 1::2].reshape(h, w)
+    assert np.array_equal(y2, y)

@@ -97,3 +97,28 @@ def test_sharded_gain_effect(setup):
     cam0 = rgb[:, H // 4 : -H // 4, W // 2 - 16 : W // 2 + 16].mean()
     cam1 = rgb[:, H // 4 : -H // 4, :16].mean()
     assert cam1 / cam0 > 0.75
+
+
+def test_sharded_bf16_blend(setup):
+    """blend_dtype='bfloat16' on the sharded path: same product within
+    bf16 ulp of the f32 path (the 16-bit analogue of the reference's
+    CV_16S pyramids), and S=1 meshes drop the halo entirely."""
+    rig, mt, sizes, frames = setup
+    mesh = make_mesh(1, 4)
+    batch = np.stack([np.stack(frames)])
+
+    f32 = ShardedMapper(mt, sizes, mesh, blend=8, enable_gain=True)
+    b16 = ShardedMapper(
+        mt, sizes, mesh, blend=8, enable_gain=True, blend_dtype="bfloat16"
+    )
+    y32 = f32.assemble_yuv(np.asarray(f32.stitch_batch(batch)[0])[0])
+    y16 = b16.assemble_yuv(np.asarray(b16.stitch_batch(batch)[0])[0])
+    err = np.abs(y32.astype(np.float32) - y16.astype(np.float32))
+    assert err.mean() < 1.0, err.mean()
+
+    single = make_mesh(1, 1)
+    sm1 = ShardedMapper(mt, sizes, single, blend=8, enable_gain=True)
+    assert sm1.plan.halo == 0  # no neighbor bands at S=1
+    y1 = sm1.assemble_yuv(np.asarray(sm1.stitch_batch(batch)[0])[0])
+    err1 = np.abs(y1.astype(np.float32) - y32.astype(np.float32))
+    assert err1.mean() < 1.0, err1.mean()
