@@ -142,10 +142,19 @@ def main():
     # bf16 pyramids are the 16-bit analogue of the reference's CV_16S
     # GPU blend (blenders.cpp:594-736); the Pallas kernel emits bf16
     # tiles directly so no XLA convert ever fuses into the untile
-    # product (the round-1 fault).  Library default stays float32.
+    # product (the round-1 fault).  The yuv420 pipeline (full-res
+    # 1-channel Y fan + half-res 2-channel chroma fan, the reference
+    # FastMapper's half-res chroma approach) is the fast path; both
+    # knobs are env-overridable.  Library defaults stay float32/rgb.
     blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "bfloat16")
+    pipeline = os.environ.get("OCTVR_PIPELINE", "yuv420")
     mapper = Mapper(
-        mt, sizes, blend=BLEND, enable_gain=True, blend_dtype=blend_dtype
+        mt,
+        sizes,
+        blend=BLEND,
+        enable_gain=True,
+        blend_dtype=blend_dtype,
+        pipeline=pipeline,
     )
     print(f"# plan built in {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -595,11 +595,18 @@ register_plan(
 SENTINEL = 0x7FFF7FFF  # oy/ox pack value that matches no fan row/block
 
 
-def _kernel_grouped(KH, KW, nb, G):
+def _kernel_grouped(KH, KW, nb, G, nc=3):
     """Batched kernel: one grid step = G output tiles sharing one
     window.  Same row fan as _kernel per sub-tile; per-tile operands
     unpack from the two packed refs; no valid ref (sentinel indices
-    yield zero weights)."""
+    yield zero weights).
+
+    ``nc`` = channels packed per input int32 (byte lanes, low byte
+    first) and output refs emitted.  nc=3 is the RGB path; nc=1 (luma)
+    skips the unpack entirely and nc=2 (chroma pairs) unpacks two bytes
+    — the per-visited-row ALU cost scales with nc, which is what makes
+    the YUV420-native pipeline (full-res Y fan + quarter-area UV fan)
+    cheaper than the RGB one."""
 
     CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
 
@@ -607,7 +614,7 @@ def _kernel_grouped(KH, KW, nb, G):
         (img_s, by_s, bx_s, by2_s, rng_s) = args[:5]
         oyx, fxy = args[5:7]
         wins = args[7 : 7 + 4 * nb]
-        out_r, out_g, out_b = args[7 + 4 * nb : 10 + 4 * nb]
+        outs = args[7 + 4 * nb : 7 + 4 * nb + nc]
 
         t = pl.program_id(0)
         for g in range(G):
@@ -628,7 +635,7 @@ def _kernel_grouped(KH, KW, nb, G):
             wy0 = 1.0 - fyv
             wy1 = fyv
 
-            accs = (zero, zero, zero)
+            accs = (zero,) * nc
             for b in range(2 * nb):
                 a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
                 a1 = jnp.where(b1 == b, fxv, 0.0)
@@ -640,7 +647,7 @@ def _kernel_grouped(KH, KW, nb, G):
                     base = h * KH
 
                     def body(c, accs, win=win, base=base, a0=a0, a1=a1):
-                        ar, ag, ab = accs
+                        accs = list(accs)
                         rowc = win[0, pl.ds(c * CHUNK, CHUNK), :]
                         for r in range(CHUNK):
                             rep = jnp.broadcast_to(
@@ -654,22 +661,25 @@ def _kernel_grouped(KH, KW, nb, G):
                             )
                             w0 = wk * a0
                             w1 = wk * a1
-                            ar = (
-                                ar
-                                + (s0 & 0xFF).astype(jnp.float32) * w0
-                                + (s1 & 0xFF).astype(jnp.float32) * w1
-                            )
-                            ag = (
-                                ag
-                                + ((s0 >> 8) & 0xFF).astype(jnp.float32) * w0
-                                + ((s1 >> 8) & 0xFF).astype(jnp.float32) * w1
-                            )
-                            ab = (
-                                ab
-                                + (s0 >> 16).astype(jnp.float32) * w0
-                                + (s1 >> 16).astype(jnp.float32) * w1
-                            )
-                        return (ar, ag, ab)
+                            for ch in range(nc):
+                                # low byte first; the top byte of the
+                                # packed int32 is zero, so the last
+                                # channel is a bare shift
+                                if ch == 0 and nc == 1:
+                                    c0, c1 = s0, s1
+                                elif ch == 0:
+                                    c0, c1 = s0 & 0xFF, s1 & 0xFF
+                                elif ch == nc - 1:
+                                    c0, c1 = s0 >> (8 * ch), s1 >> (8 * ch)
+                                else:
+                                    c0 = (s0 >> (8 * ch)) & 0xFF
+                                    c1 = (s1 >> (8 * ch)) & 0xFF
+                                accs[ch] = (
+                                    accs[ch]
+                                    + c0.astype(jnp.float32) * w0
+                                    + c1.astype(jnp.float32) * w1
+                                )
+                        return tuple(accs)
 
                     lo_h = jnp.maximum(lo_b, base) - base
                     hi_h = jnp.minimum(hi_b, base + KH) - base
@@ -680,9 +690,8 @@ def _kernel_grouped(KH, KW, nb, G):
                         accs,
                     )
 
-            out_r[0, g] = accs[0].astype(out_r.dtype)
-            out_g[0, g] = accs[1].astype(out_g.dtype)
-            out_b[0, g] = accs[2].astype(out_b.dtype)
+            for ch in range(nc):
+                outs[ch][0, g] = accs[ch].astype(outs[ch].dtype)
 
     return kern
 
@@ -968,13 +977,19 @@ def getattr_cat(plans, field):
     return np.concatenate([getattr(p, field) for p in plans])
 
 
-@partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+@partial(jax.jit, static_argnames=("interpret", "out_dtype", "nc"))
 def pallas_remap_apply_batched(
-    packed_stack, plan: BatchedRemapPlan, interpret=False, out_dtype="float32"
+    packed_stack,
+    plan: BatchedRemapPlan,
+    interpret=False,
+    out_dtype="float32",
+    nc=3,
 ):
-    """packed_stack: int32 [N, H, W].  Returns tuple of [3, rh, rw] per
-    input in ``out_dtype`` ("float32" or "bfloat16"; accumulation is
-    always f32 in-kernel, only the store is cast)."""
+    """packed_stack: int32 [N, H, W] with ``nc`` channels byte-packed
+    per element (low byte first; nc=1 stores the raw value).  Returns a
+    tuple of [nc, rh, rw] per input in ``out_dtype`` ("float32" or
+    "bfloat16"; accumulation is always f32 in-kernel, only the store is
+    cast)."""
     in_h, in_w = plan.in_shape
     KH, KW, nt, G = plan.KH, plan.KW, plan.nt, plan.G
     nb = KW // TW
@@ -1009,14 +1024,14 @@ def pallas_remap_apply_batched(
         num_scalar_prefetch=5,
         grid=(plan.grid_nt,),
         in_specs=[tile_spec, tile_spec] + win_specs,
-        out_specs=[out_spec, out_spec, out_spec],
+        out_specs=[out_spec] * nc,
     )
     odt = jnp.dtype(out_dtype)
     shape = jax.ShapeDtypeStruct((plan.grid_nt, G, TH, TW), odt)
-    r, g, b = pl.pallas_call(
-        _kernel_grouped(KH, KW, nb, G),
+    chans = pl.pallas_call(
+        _kernel_grouped(KH, KW, nb, G, nc=nc),
         grid_spec=grid_spec,
-        out_shape=[shape, shape, shape],
+        out_shape=[shape] * nc,
         interpret=interpret,
     )(
         plan.img,
@@ -1034,9 +1049,19 @@ def pallas_remap_apply_batched(
     zero = jnp.zeros((), dtype=odt)
     g2c = jnp.asarray(plan.g2c)
     tm = jnp.asarray(plan.tmask)[:, None, None] > 0
-    r = jnp.where(tm, jnp.take(r.reshape(-1, TH, TW), g2c, axis=0), zero)
-    g = jnp.where(tm, jnp.take(g.reshape(-1, TH, TW), g2c, axis=0), zero)
-    b = jnp.where(tm, jnp.take(b.reshape(-1, TH, TW), g2c, axis=0), zero)
+    chans = [
+        jnp.where(tm, jnp.take(ch.reshape(-1, TH, TW), g2c, axis=0), zero)
+        for ch in chans
+    ]
+
+    def unpack_ch(gv, ch):
+        if ch == 0 and nc == 1:
+            return gv.astype(jnp.float32)
+        if ch == 0:
+            return (gv & 0xFF).astype(jnp.float32)
+        if ch == nc - 1:
+            return (gv >> (8 * ch)).astype(jnp.float32)
+        return ((gv >> (8 * ch)) & 0xFF).astype(jnp.float32)
 
     outs = []
     for i, (rh, rw) in enumerate(plan.out_shapes):
@@ -1053,28 +1078,22 @@ def pallas_remap_apply_batched(
                 .reshape(nty * ph, ntx * pw)[:rh, :rw]
             )
 
-        out = jnp.stack([untile(r), untile(g), untile(b)])
+        out = jnp.stack([untile(ch) for ch in chans])
         res_out, res_idx, res_w = plan.res[i]
         if res_out.shape[0]:
             flat = packed_stack[i].reshape(-1)
-            acc = jnp.zeros((3, res_out.shape[0]), dtype=jnp.float32)
+            acc = jnp.zeros((nc, res_out.shape[0]), dtype=jnp.float32)
             for k in range(4):
                 gv = jnp.take(flat, res_idx[k])
-                chans = jnp.stack(
-                    [
-                        (gv & 0xFF).astype(jnp.float32),
-                        ((gv >> 8) & 0xFF).astype(jnp.float32),
-                        ((gv >> 16) & 0xFF).astype(jnp.float32),
-                    ]
-                )
-                acc = acc + chans * res_w[k][None]
+                cs = jnp.stack([unpack_ch(gv, ch) for ch in range(nc)])
+                acc = acc + cs * res_w[k][None]
             # .add, not .set: the kernel wrote 0 at residual pixels
             # (valid=0), and zero-weight pad entries become no-ops
             out = (
-                out.reshape(3, -1)
+                out.reshape(nc, -1)
                 .at[:, res_out]
                 .add(acc.astype(odt))
-                .reshape(3, rh, rw)
+                .reshape(nc, rh, rw)
             )
         outs.append(out)
     return tuple(outs)

@@ -92,12 +92,17 @@ class _InputPlan:
     vignette: Optional[np.ndarray]  # f32 [H_in, W_in] or None
     mask: np.ndarray  # u8 roi-sized
     pool_cols: object = None  # [ww*s, ww] MXU box-mean matrix
+    # yuv420 pipeline extras
+    vig_half: object = None  # f32 [H_in/2, W_in/2] chroma-grid vignette
+    roi_uv: tuple = None  # chroma-grid roi
+    mask_half: object = None  # u8 chroma-grid mask (overlay paste)
 
 
 register_plan(
     _InputPlan,
-    children=("remap", "vignette", "mask", "pool_cols"),
-    static=("roi", "work_sub", "work_roi"),
+    children=("remap", "vignette", "mask", "pool_cols", "vig_half",
+              "mask_half"),
+    static=("roi", "work_sub", "work_roi", "roi_uv"),
 )
 
 
@@ -112,9 +117,12 @@ class StitchPlan:
     blender: object = None
     blend_kind: str = "none"  # "multiband" | "feather" | "none"
     batched_remap: object = None  # BatchedRemapPlan when all sizes equal
+    remap_uv: object = None  # half-res chroma plan (yuv420 pipeline)
+    blender_uv: object = None  # half-res blend plan (yuv420 pipeline)
     chroma_up: dict = field(default_factory=dict)  # width -> MXU upsample
     chroma_down: object = None  # [W, W/2] MXU chroma subsample (output)
     working_scale: float = 1.0
+    pipeline: str = "rgb"  # "rgb" | "yuv420"
 
 
 register_plan(
@@ -126,10 +134,18 @@ register_plan(
         "gain_blocks",
         "blender",
         "batched_remap",
+        "remap_uv",
+        "blender_uv",
         "chroma_up",
         "chroma_down",
     ),
-    static=("canvas_size", "out_size", "blend_kind", "working_scale"),
+    static=(
+        "canvas_size",
+        "out_size",
+        "blend_kind",
+        "working_scale",
+        "pipeline",
+    ),
 )
 
 
@@ -154,15 +170,29 @@ class Mapper:
         use_pallas: bool = True,
         frame_format: str = "yuv420p",
         blend_dtype: str = "float32",
+        pipeline: str = "rgb",
     ):
         assert frame_format in ("yuv420p", "nv12")
+        assert pipeline in ("rgb", "yuv420")
         self.frame_format = frame_format
         n = len(mt.inputs)
-        self.use_pallas = use_pallas and jax.default_backend() == "tpu"
+        self._interpret = jax.default_backend() != "tpu"
+        self.use_pallas = use_pallas and not self._interpret
         # equal-size inputs share ONE pallas kernel (one Mosaic compile)
         self._batch_remap = (
             self.use_pallas and len(set(map(tuple, in_sizes))) == 1
         )
+        if pipeline == "yuv420":
+            # on CPU the batched kernel runs in interpret mode (tests)
+            self._batch_remap = len(set(map(tuple, in_sizes))) == 1
+            # YUV420-native path (see stitch/yuv_mode.py): needs the
+            # batched kernel, even geometry, and has no blocks-gain or
+            # output-scaling support yet
+            assert self._batch_remap, "yuv420 pipeline needs the batched TPU kernel"
+            assert scale_output is None
+            assert enable_gain in (False, True)
+            assert mt.out_size[0] % 2 == 0 and mt.out_size[1] % 2 == 0
+            assert all(h % 2 == 0 and w % 2 == 0 for h, w in in_sizes)
         if n == 1:
             blend = 0
             enable_gain = False
@@ -171,6 +201,7 @@ class Mapper:
         plan = StitchPlan(
             canvas_size=(W, H),
             out_size=tuple(scale_output) if scale_output else (W, H),
+            pipeline=pipeline,
         )
 
         working_scale = min(1.0, math.sqrt(WORKING_MEGAPIX * 1e6 / (W * H)))
@@ -188,12 +219,12 @@ class Mapper:
             is_overlay = idx >= n
             in_h, in_w = in_sizes[idx]
             rx, ry, rw, rh = inp.roi
-            if self.use_pallas and not self._batch_remap:
-                rp = pallas_remap_plan(inp.map1, inp.map2, in_h, in_w)
-            elif not self.use_pallas:
-                rp = remap_plan(inp.map1, inp.map2, in_h, in_w)
-            else:
+            if self._batch_remap:
                 rp = None  # served by the batched kernel
+            elif self.use_pallas:
+                rp = pallas_remap_plan(inp.map1, inp.map2, in_h, in_w)
+            else:
+                rp = remap_plan(inp.map1, inp.map2, in_h, in_w)
 
             work_sub = None
             wroi = None
@@ -228,6 +259,23 @@ class Mapper:
                 pool_cols = _pool_cols_matrix(
                     work_sub[4] * stride, stride
                 )
+            vig_half = None
+            roi_uv = None
+            mask_half = None
+            if pipeline == "yuv420":
+                from .yuv_mode import half_mask, half_roi
+
+                roi_uv = half_roi(inp.roi)
+                if vig is not None:
+                    # chroma-grid vignette (2x2 mean of the luma-grid map)
+                    vig_half = (
+                        vig.reshape(in_h // 2, 2, in_w // 2, 2)
+                        .mean(axis=(1, 3))
+                        .astype(np.float32)
+                    )
+                mask_half = (
+                    half_mask(inp.mask, inp.roi) > 0
+                ).astype(np.uint8) * 255
             ip = _InputPlan(
                 roi=inp.roi,
                 remap=rp,
@@ -236,6 +284,9 @@ class Mapper:
                 vignette=vig,
                 mask=inp.mask,
                 pool_cols=pool_cols,
+                vig_half=vig_half,
+                roi_uv=roi_uv,
+                mask_half=mask_half,
             )
             (plan.overlays if is_overlay else plan.inputs).append(ip)
 
@@ -275,6 +326,38 @@ class Mapper:
             )
             plan.blend_kind = "feather"
 
+        if pipeline == "yuv420":
+            from .yuv_mode import half_mask, half_maps
+
+            all_inputs = mt.inputs + mt.overlay_inputs
+            hm = [half_maps(i.map1, i.map2, i.roi) for i in all_inputs]
+            plan.remap_uv = merge_remap_plans(
+                [(a, b) for a, b, _ in hm],
+                in_sizes[0][0] // 2,
+                in_sizes[0][1] // 2,
+            )
+            rois_uv = [r for _, _, r in hm[:n]]
+            if blend > 0:
+                seams_uv = [
+                    half_mask(sm, i.roi)
+                    for sm, i in zip(mt.seam_masks, mt.inputs)
+                ]
+                plan.blender_uv = build_multiband_plan(
+                    seams_uv,
+                    rois_uv,
+                    max(1, num_bands - 1),
+                    (W // 2, H // 2),
+                    dtype=blend_dtype,
+                )
+            elif blend < 0:
+                masks_uv = [
+                    (half_mask(i.mask, i.roi) > 0).astype(np.uint8) * 255
+                    for i in mt.inputs
+                ]
+                plan.blender_uv = build_feather_plan(
+                    masks_uv, rois_uv, max(1, (-blend) // 2)
+                )
+
         self.plan = plan
         self.num_inputs = n
 
@@ -292,6 +375,8 @@ class Mapper:
     # ------------------------------------------------------------ forward
 
     def _forward(self, plan, yuv_inputs, ext_gains):
+        if plan.pipeline == "yuv420":
+            return self._forward_yuv(plan, yuv_inputs, ext_gains)
         W, H = plan.canvas_size
 
         def to_rgb(buf):
@@ -405,6 +490,153 @@ class Mapper:
             out = merge_nv12(*split_yuv420p(out))
         if gains is None:
             gains = jnp.ones((self.num_inputs,), dtype=jnp.float32)
+        return out, gains
+
+    def _forward_yuv(self, plan, yuv_inputs, ext_gains):
+        """YUV420-native per-frame path (see stitch/yuv_mode.py): nc=1
+        full-res Y fan + nc=2 half-res chroma fan, separate Y/UV blends,
+        direct packed YUV420P output.  Chroma rides CENTERED (U-128,
+        V-128) from the gain stage through the blend — the blend weights
+        sum to one where covered and the band normalization leaves
+        uncovered pixels at 0, so adding 128 back at the output yields
+        neutral chroma exactly where the RGB path yields black."""
+        W, H = plan.canvas_size
+        n = self.num_inputs
+
+        remap_dtype = (
+            plan.blender.compute_dtype
+            if plan.blend_kind == "multiband"
+            else "float32"
+        )
+        packs_y, packs_uv = [], []
+        for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
+            if self.frame_format == "nv12":
+                buf = merge_yuv420p(*split_nv12(buf))
+            y, u, v = split_yuv420p(buf)
+            yf = y.astype(jnp.float32)
+            uf = u.astype(jnp.float32)
+            vf = v.astype(jnp.float32)
+            if ip.vignette is not None:
+                yf = jnp.clip(yf * jnp.asarray(ip.vignette), 0.0, 255.0)
+                vh = jnp.asarray(ip.vig_half)
+                uf = jnp.clip((uf - 128.0) * vh + 128.0, 0.0, 255.0)
+                vf = jnp.clip((vf - 128.0) * vh + 128.0, 0.0, 255.0)
+            packs_y.append(
+                jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
+            )
+            uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
+            vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
+            packs_uv.append(uq | (vq << 8))
+
+        warped_y = list(
+            pallas_remap_apply_batched(
+                jnp.stack(packs_y),
+                plan.batched_remap,
+                out_dtype=remap_dtype,
+                nc=1,
+                interpret=self._interpret,
+            )
+        )
+        warped_uv = list(
+            pallas_remap_apply_batched(
+                jnp.stack(packs_uv),
+                plan.remap_uv,
+                out_dtype=remap_dtype,
+                nc=2,
+                interpret=self._interpret,
+            )
+        )
+        # center chroma: covered pixels carry (U-128, V-128); uncovered
+        # stay 0 and become neutral 128 at the output stage
+        warped_uv = [wuv - jnp.asarray(128.0, wuv.dtype) for wuv in warped_uv]
+
+        # exposure gains from the warped LUMA plane (the reference's
+        # elementNorm is the RGB L2 norm, = sqrt(3)*Y for gray pixels;
+        # the sqrt(3) keeps gain magnitudes comparable across pipelines
+        # under the beta prior)
+        work_norms = []
+        if plan.gain is not None:
+            for w, ip in zip(warped_y[:n], plan.inputs):
+                oy, ox, s, wh, ww = ip.work_sub
+                wimg = w[:, oy : oy + wh * s, ox : ox + ww * s].astype(
+                    jnp.float32
+                )
+                wimg = _pool_pow2(wimg, s, col_mat=ip.pool_cols)
+                work_norms.append(math.sqrt(3.0) * wimg[0])
+
+        gains = None
+        if plan.gain is not None:
+            if ext_gains is None:
+                gains = solve_gains(plan.gain, work_norms)
+            else:
+                gains = ext_gains
+            # Y scales by g; centered chroma scales by g (exact: YUV is
+            # affine in RGB)
+            warped_y = [
+                w * gains[i].astype(w.dtype) if i < n else w
+                for i, w in enumerate(warped_y)
+            ]
+            warped_uv = [
+                w * gains[i].astype(w.dtype) if i < n else w
+                for i, w in enumerate(warped_uv)
+            ]
+
+        def blend(blender, imgs, size, kind_inputs):
+            cw, ch = size
+            if plan.blend_kind == "multiband":
+                return multiband_blend(blender, imgs, size)
+            if plan.blend_kind == "feather":
+                return feather_blend(blender, imgs, size)
+            canvas = jnp.zeros((imgs[0].shape[0], ch, cw), dtype=jnp.float32)
+            for img, (x, y, rw, rh), m in kind_inputs(imgs):
+                region = canvas[:, y : y + rh, x : x + rw]
+                canvas = canvas.at[:, y : y + rh, x : x + rw].set(
+                    jnp.where(m, img, region)
+                )
+            return canvas
+
+        def y_inputs(imgs):
+            for img, ip in zip(imgs, plan.inputs):
+                yield img, ip.roi, (jnp.asarray(ip.mask) > 0)[None]
+
+        def uv_inputs(imgs):
+            for img, ip in zip(imgs, plan.inputs):
+                m = (jnp.asarray(ip.mask_half) > 0)[None]
+                yield img, ip.roi_uv, m
+
+        y_canvas = blend(plan.blender, warped_y[:n], (W, H), y_inputs)
+        uv_canvas = blend(
+            plan.blender_uv, warped_uv[:n], (W // 2, H // 2), uv_inputs
+        )
+
+        # overlay paste (mapper.cpp:279-282 semantics), Y and UV planes
+        for wy, wuv, ip in zip(
+            warped_y[n:], warped_uv[n:], plan.overlays
+        ):
+            x, y, rw, rh = ip.roi
+            m = (jnp.asarray(ip.mask) > 0)[None]
+            region = y_canvas[:, y : y + rh, x : x + rw]
+            y_canvas = y_canvas.at[:, y : y + rh, x : x + rw].set(
+                jnp.where(m, wy.astype(y_canvas.dtype), region)
+            )
+            cx, cy, cw_, ch_ = ip.roi_uv
+            mh = (jnp.asarray(ip.mask_half) > 0)[None]
+            region = uv_canvas[:, cy : cy + ch_, cx : cx + cw_]
+            uv_canvas = uv_canvas.at[:, cy : cy + ch_, cx : cx + cw_].set(
+                jnp.where(mh, wuv.astype(uv_canvas.dtype), region)
+            )
+
+        y8 = jnp.clip(jnp.round(y_canvas[0].astype(jnp.float32)), 0, 255).astype(
+            jnp.uint8
+        )
+        uvf = uv_canvas.astype(jnp.float32) + 128.0
+        u8 = jnp.clip(jnp.round(uvf[0]), 0, 255).astype(jnp.uint8)
+        v8 = jnp.clip(jnp.round(uvf[1]), 0, 255).astype(jnp.uint8)
+        out = merge_yuv420p(y8, u8, v8)
+        if self.frame_format == "nv12":
+            out = merge_nv12(y8, u8, v8)
+        if gains is None:
+            gains = jnp.ones((n,), dtype=jnp.float32)
         return out, gains
 
     # ------------------------------------------------------------- public

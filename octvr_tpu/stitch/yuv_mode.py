@@ -1,0 +1,94 @@
+"""YUV420-native online pipeline helpers.
+
+The RGB Mapper converts every camera frame to full-resolution RGB,
+remaps three channels per pixel, blends in RGB and converts back to
+YUV420P.  But the output is 4:2:0 — the chroma work above half
+resolution is thrown away by the final subsample — and the input was
+4:2:0 to begin with.  The YUV-native mode (``Mapper(pipeline=
+"yuv420")``) instead:
+
+* remaps **Y at full resolution with a 1-channel fan** (nc=1 — the
+  per-visited-row ALU cost of the Pallas kernel scales with channel
+  count),
+* remaps **U|V packed as one 2-channel plane at half resolution**
+  (quarter the tiles) using half-resolution maps — exactly the
+  reference's own mobile profile (vr::FastMapper precomputes half-res
+  chroma maps, octvr/src/mapper_fast.cpp:27-109),
+* blends Y and UV with separate multiband/feather plans (blending is
+  linear, and YUV is an affine transform of RGB whose offsets survive
+  weights-summing-to-one blending, so the result matches RGB-space
+  blending up to the 4:2:0 chroma resampling),
+* applies vignette/exposure gains in YUV: scaling RGB by g scales Y by
+  g and scales the centered chroma (U-128, V-128) by g — exact, not an
+  approximation,
+* emits packed YUV420P directly (no output color conversion or chroma
+  subsample at all).
+
+Helpers here build the half-resolution chroma geometry from the
+template's full-resolution per-input arrays.
+"""
+
+import numpy as np
+
+__all__ = ["half_maps", "half_mask", "half_roi"]
+
+
+def half_roi(roi):
+    """Chroma-grid ROI covering a luma-grid ROI (canvas pixel (2i, 2j)
+    family per chroma pixel (i, j))."""
+    x, y, w, h = roi
+    cx0, cy0 = x // 2, y // 2
+    cx1 = -(-(x + w) // 2)
+    cy1 = -(-(y + h) // 2)
+    return (cx0, cy0, cx1 - cx0, cy1 - cy0)
+
+
+def _quad_mean(arr, roi, valid_src=None):
+    """Mean over each chroma pixel's <=4 in-ROI luma samples.  Returns
+    (mean, count) on the half_roi grid; entries with count 0 are 0."""
+    x, y, w, h = roi
+    cx0, cy0, cw, ch = half_roi(roi)
+    acc = np.zeros((ch, cw), dtype=np.float64)
+    cnt = np.zeros((ch, cw), dtype=np.int32)
+    rows_c = np.arange(cy0, cy0 + ch)
+    cols_c = np.arange(cx0, cx0 + cw)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            rows = 2 * rows_c + dy - y
+            cols = 2 * cols_c + dx - x
+            rin = (rows >= 0) & (rows < h)
+            cin = (cols >= 0) & (cols < w)
+            rr = np.clip(rows, 0, h - 1)
+            cc = np.clip(cols, 0, w - 1)
+            sub = arr[np.ix_(rr, cc)]
+            ok = rin[:, None] & cin[None, :]
+            if valid_src is not None:
+                ok = ok & valid_src[np.ix_(rr, cc)]
+            acc += np.where(ok, sub, 0.0)
+            cnt += ok
+    mean = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0.0)
+    return mean, cnt
+
+
+def half_maps(map1, map2, roi):
+    """Half-resolution chroma maps for one input: each chroma pixel's
+    source coordinate is the mean of its valid luma samples' normalized
+    coordinates (maps are smooth; the reference's FastMapper similarly
+    resamples map pairs to half size, mapper_fast.cpp:60-72).  Invalid
+    (-1) where no luma sample is valid.  Returns (hm1, hm2, chroma_roi).
+    The normalized coordinates are resolution-independent, so the same
+    values index the half-resolution chroma planes."""
+    valid = map1 >= 0
+    hm1, cnt = _quad_mean(map1.astype(np.float64), roi, valid_src=valid)
+    hm2, _ = _quad_mean(map2.astype(np.float64), roi, valid_src=valid)
+    ok = cnt > 0
+    hm1 = np.where(ok, hm1, -1.0).astype(np.float32)
+    hm2 = np.where(ok, hm2, -1.0).astype(np.float32)
+    return hm1, hm2, half_roi(roi)
+
+
+def half_mask(mask, roi, threshold=0.0):
+    """Chroma-grid mask: mean of the 2x2 luma mask samples; > threshold
+    counts as covered (float in [0, 255] preserved for seam weights)."""
+    mean, cnt = _quad_mean(mask.astype(np.float64), roi)
+    return mean.astype(np.float32)

@@ -91,3 +91,37 @@ def test_pallas_remap_batched_bf16_output():
         err = np.abs(np.asarray(o32) - np.asarray(o16, dtype=np.float32))
         # bf16 has 8 mantissa bits: <= 0.5 ulp of 255 = 0.5
         assert err.max() <= 1.0, err.max()
+
+
+def test_pallas_remap_batched_channel_counts():
+    """nc=1 (luma) and nc=2 (chroma pair) kernels: byte-packed channels
+    agree with the nc=3 path on the same maps (the YUV420-native
+    pipeline remaps Y with nc=1 at full res and U|V with nc=2 at half
+    res)."""
+    rng = np.random.default_rng(5)
+    in_h, in_w = 96, 256
+    m1, m2 = _arc_maps(64, 256)
+    chans = rng.uniform(0, 255, (3, in_h, in_w)).astype(np.float32)
+    packed3 = pack_rgb(jnp.asarray(chans)).reshape(in_h, in_w)
+
+    bp = merge_remap_plans([(m1, m2)], in_h, in_w)
+    ref = np.asarray(
+        pallas_remap_apply_batched(packed3[None], bp, interpret=True)[0]
+    )
+
+    # nc=1: raw values (channel 0)
+    p1 = jnp.asarray(np.round(chans[0]).astype(np.int32))[None]
+    got1 = np.asarray(
+        pallas_remap_apply_batched(p1, bp, interpret=True, nc=1)[0]
+    )
+    assert np.abs(got1[0] - ref[0]).max() < 1e-3
+
+    # nc=2: ch0 | ch1<<8
+    p2 = jnp.asarray(
+        (np.round(chans[0]).astype(np.int32))
+        | (np.round(chans[1]).astype(np.int32) << 8)
+    )[None]
+    got2 = np.asarray(
+        pallas_remap_apply_batched(p2, bp, interpret=True, nc=2)[0]
+    )
+    assert np.abs(got2 - ref[:2]).max() < 1e-3

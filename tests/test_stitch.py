@@ -228,3 +228,50 @@ def test_multiband_bf16_matches_f32(two_cam_setup):
     diff = np.abs(got16.astype(np.float32) - got32.astype(np.float32))
     assert diff.mean() < 1.0, f"mean bf16 drift {diff.mean()}"
     assert np.percentile(diff, 99.9) <= 4.0
+
+
+def test_yuv420_pipeline_matches_rgb(two_cam_setup):
+    """pipeline='yuv420' (full-res 1-channel Y fan + half-res 2-channel
+    chroma fan, separate blends, direct YUV420P output — the reference
+    FastMapper's half-res chroma approach, mapper_fast.cpp:27-109) vs
+    the RGB pipeline: same luma up to rounding, chroma within the 4:2:0
+    resampling difference."""
+    rig, mt, sizes = two_cam_setup
+    frames = render_camera_frames(rig)
+
+    m_rgb = Mapper(mt, sizes, blend=16, enable_gain=True)
+    m_yuv = Mapper(mt, sizes, blend=16, enable_gain=True, pipeline="yuv420")
+    out_rgb, g_rgb = m_rgb.stitch(frames)
+    out_yuv, g_yuv = m_yuv.stitch(frames)
+
+    h = out_rgb.shape[0] * 2 // 3
+    y_err = np.abs(
+        np.asarray(out_rgb)[:h].astype(np.float32)
+        - np.asarray(out_yuv)[:h].astype(np.float32)
+    )
+    assert y_err.mean() < 1.0, y_err.mean()
+    c_err = np.abs(
+        np.asarray(out_rgb)[h:].astype(np.float32)
+        - np.asarray(out_yuv)[h:].astype(np.float32)
+    )
+    assert c_err.mean() < 2.0, c_err.mean()
+    # gains: same solver on a luma-proxy norm — close, not identical
+    np.testing.assert_allclose(
+        np.asarray(g_yuv), np.asarray(g_rgb), rtol=0.05, atol=0.01
+    )
+
+    # accuracy against the analytic world (same bar as the RGB tests)
+    truth = ground_truth(512, 256)
+    got = rgb_from_yuv_buf(out_yuv)
+    err = np.abs(got - truth)[4:-4]
+    assert err.mean() < 3.0, err.mean()
+
+
+def test_yuv420_pipeline_feather(two_cam_setup):
+    rig, mt, sizes = two_cam_setup
+    frames = render_camera_frames(rig)
+    m = Mapper(mt, sizes, blend=-8, enable_gain=False, pipeline="yuv420")
+    out, _ = m.stitch(frames)
+    truth = ground_truth(512, 256)
+    err = np.abs(rgb_from_yuv_buf(out) - truth)[4:-4]
+    assert err.mean() < 3.0, err.mean()
