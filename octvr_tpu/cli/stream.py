@@ -52,6 +52,21 @@ def main(argv=None):
     )
     ap.add_argument("--preview_interval", type=int, default=30)
     ap.add_argument(
+        "--pipeline",
+        default="rgb",
+        choices=("rgb", "yuv420"),
+        help="online compute path: yuv420 = YUV-native (1-ch full-res Y "
+        "fan + 2-ch half-res chroma fan, ~1.5x faster on TPU; needs "
+        "equal camera sizes and even geometry)",
+    )
+    ap.add_argument(
+        "--blend_dtype",
+        default="float32",
+        choices=("float32", "bfloat16"),
+        help="multiband pyramid precision (bfloat16 = the 16-bit "
+        "analogue of the reference's CV_16S GPU pyramids)",
+    )
+    ap.add_argument(
         "--timers",
         action="store_true",
         help="print per-stage [Timer stitch] upload/dispatch/drain ms "
@@ -104,6 +119,8 @@ def main(argv=None):
                 [(h_in, w_in)] * len(readers),
                 blend=blend,
                 enable_gain=gain_mode >= 0,
+                pipeline=args.pipeline,
+                blend_dtype=args.blend_dtype,
             )
         )
         gain_modes.append(gain_mode)

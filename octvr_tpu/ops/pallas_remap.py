@@ -119,9 +119,13 @@ def pallas_remap_plan(
     force_kw: int = None,
     pad_nt: int = None,
     patch: tuple = (TH, TW),
+    paired: bool = False,
 ) -> PallasRemapPlan:
     """Build the tiled gather plan from normalized maps (-1 = invalid).
-    ``patch`` is the canvas footprint of one (8,128) kernel tile."""
+    ``patch`` is the canvas footprint of one (8,128) kernel tile.
+    ``paired``: the input carries both horizontal taps byte-packed per
+    element (see _kernel_grouped), so only the x0 tap's column block is
+    gathered — per-block row ranges tighten to b0 alone."""
     ph, pw = patch
     assert ph * pw == TH * TW and ph % TH == 0
     rh, rw = map1.shape
@@ -225,7 +229,7 @@ def pallas_remap_plan(
     b1p = ox1c >> 7
     rng = np.zeros((nt, 2 * nb), dtype=np.int32)
     for b in range(2 * nb):
-        m = covered & ((b0p == b) | (b1p == b))
+        m = covered & ((b0p == b) if paired else ((b0p == b) | (b1p == b)))
         anym = m.reshape(nt, -1).any(axis=1)
         rmin = np.where(m, oy0c, big).reshape(nt, -1).min(axis=1)
         rmax = np.where(m, oy1c, -big).reshape(nt, -1).max(axis=1) + 1
@@ -595,7 +599,21 @@ register_plan(
 SENTINEL = 0x7FFF7FFF  # oy/ox pack value that matches no fan row/block
 
 
-def _kernel_grouped(KH, KW, nb, G, nc=3):
+def pack_pairs(planes):
+    """Channel planes (int32 [..., H, W], values 0..255) -> pair-packed
+    int32 [..., H, W] for the paired fan: byte layout
+    [ch0(x), .., ch_{nc-1}(x), ch0(x+1), ..] with the x+1 tap
+    edge-clamped (matches the plan's xi1 = min(xi0+1, W-1))."""
+    nc = len(planes)
+    assert 1 <= nc <= 2
+    base = planes[0]
+    if nc == 2:
+        base = base | (planes[1] << 8)
+    nxt = jnp.concatenate([base[..., 1:], base[..., -1:]], axis=-1)
+    return base | (nxt << (8 * nc))
+
+
+def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False):
     """Batched kernel: one grid step = G output tiles sharing one
     window.  Same row fan as _kernel per sub-tile; per-tile operands
     unpack from the two packed refs; no valid ref (sentinel indices
@@ -606,7 +624,14 @@ def _kernel_grouped(KH, KW, nb, G, nc=3):
     skips the unpack entirely and nc=2 (chroma pairs) unpacks two bytes
     — the per-visited-row ALU cost scales with nc, which is what makes
     the YUV420-native pipeline (full-res Y fan + quarter-area UV fan)
-    cheaper than the RGB one."""
+    cheaper than the RGB one.
+
+    ``paired`` (nc <= 2): the input int32 carries BOTH horizontal taps,
+    byte layout [ch0(x), .., ch_{nc-1}(x), ch0(x+1), ..] low byte first
+    (edge clamp baked into the pair packing, see pack_pairs).  The fan
+    is gather-bound — the two take_along_axis per visited row dominate
+    its cost — and pairing halves that to ONE gather per row; the x1
+    lane indices and block masks disappear entirely."""
 
     CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
 
@@ -629,16 +654,33 @@ def _kernel_grouped(KH, KW, nb, G, nc=3):
 
             b0 = ox0v >> 7
             l0 = ox0v & 127
-            b1 = ox1v >> 7
-            l1 = ox1v & 127
+            if not paired:
+                b1 = ox1v >> 7
+                l1 = ox1v & 127
             zero = jnp.zeros((TH, TW), dtype=jnp.float32)
             wy0 = 1.0 - fyv
             wy1 = fyv
 
+            def tap(s, field, nfields):
+                # byte field of the packed int32; top field needs no
+                # mask (the caller leaves the top byte zero for
+                # nfields < 4)
+                if field == 0 and nfields == 1:
+                    return s
+                if field == 0:
+                    return s & 0xFF
+                if field == nfields - 1 and nfields < 4:
+                    return s >> (8 * field)
+                return (s >> (8 * field)) & 0xFF
+
             accs = (zero,) * nc
             for b in range(2 * nb):
-                a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
-                a1 = jnp.where(b1 == b, fxv, 0.0)
+                if paired:
+                    a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
+                    a1 = jnp.where(b0 == b, fxv, 0.0)
+                else:
+                    a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
+                    a1 = jnp.where(b1 == b, fxv, 0.0)
                 v = rng_s[(t * G + g) * (2 * nb) + b]
                 lo_b = v & 0xFFFF
                 hi_b = v >> 16
@@ -654,26 +696,21 @@ def _kernel_grouped(KH, KW, nb, G, nc=3):
                                 rowc[r : r + 1, :], (TH, TW)
                             )
                             s0 = jnp.take_along_axis(rep, l0, axis=1)
-                            s1 = jnp.take_along_axis(rep, l1, axis=1)
+                            if not paired:
+                                s1 = jnp.take_along_axis(rep, l1, axis=1)
                             k = c * CHUNK + r + base
                             wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
                                 oy1v == k, wy1, 0.0
                             )
                             w0 = wk * a0
                             w1 = wk * a1
+                            nfields = 2 * nc if paired else nc
                             for ch in range(nc):
-                                # low byte first; the top byte of the
-                                # packed int32 is zero, so the last
-                                # channel is a bare shift
-                                if ch == 0 and nc == 1:
-                                    c0, c1 = s0, s1
-                                elif ch == 0:
-                                    c0, c1 = s0 & 0xFF, s1 & 0xFF
-                                elif ch == nc - 1:
-                                    c0, c1 = s0 >> (8 * ch), s1 >> (8 * ch)
+                                c0 = tap(s0, ch, nfields)
+                                if paired:
+                                    c1 = tap(s0, nc + ch, nfields)
                                 else:
-                                    c0 = (s0 >> (8 * ch)) & 0xFF
-                                    c1 = (s1 >> (8 * ch)) & 0xFF
+                                    c1 = tap(s1, ch, nfields)
                                 accs[ch] = (
                                     accs[ch]
                                     + c0.astype(jnp.float32) * w0
@@ -751,6 +788,7 @@ def merge_remap_plans(
     pad_res=None,
     group=None,
     prebuilt_plans=None,
+    paired=False,
 ):
     """maps: list of (map1, map2).  Picks each input's tile patch shape,
     builds per-input plans with common (KH, KW), concatenates them into
@@ -777,7 +815,7 @@ def merge_remap_plans(
         probes = None
         if force_kh is None or force_kw is None:
             probes = [
-                pallas_remap_plan(m1, m2, in_h, in_w, patch=p)
+                pallas_remap_plan(m1, m2, in_h, in_w, patch=p, paired=paired)
                 for (m1, m2), p in zip(maps, patches)
             ]
             force_kh = max(p.KH for p in probes)
@@ -795,6 +833,7 @@ def merge_remap_plans(
                     pallas_remap_plan(
                         m1, m2, in_h, in_w,
                         force_kh=KH, force_kw=KW, patch=patches[i],
+                        paired=paired,
                     )
                 )
     offs, img = [], []
@@ -977,19 +1016,28 @@ def getattr_cat(plans, field):
     return np.concatenate([getattr(p, field) for p in plans])
 
 
-@partial(jax.jit, static_argnames=("interpret", "out_dtype", "nc"))
+@partial(
+    jax.jit, static_argnames=("interpret", "out_dtype", "nc", "paired")
+)
 def pallas_remap_apply_batched(
     packed_stack,
     plan: BatchedRemapPlan,
     interpret=False,
     out_dtype="float32",
     nc=3,
+    paired=False,
 ):
     """packed_stack: int32 [N, H, W] with ``nc`` channels byte-packed
     per element (low byte first; nc=1 stores the raw value).  Returns a
     tuple of [nc, rh, rw] per input in ``out_dtype`` ("float32" or
     "bfloat16"; accumulation is always f32 in-kernel, only the store is
-    cast)."""
+    cast).
+
+    ``paired`` (nc <= 2): elements carry both horizontal taps
+    ([ch(x) bytes..., ch(x+1) bytes...], edge-clamped by the caller's
+    packing — see pack_pairs) and the fan gathers once per visited row.
+    The plan must have been built with paired=True (tighter b0-only row
+    ranges)."""
     in_h, in_w = plan.in_shape
     KH, KW, nt, G = plan.KH, plan.KW, plan.nt, plan.G
     nb = KW // TW
@@ -1029,7 +1077,7 @@ def pallas_remap_apply_batched(
     odt = jnp.dtype(out_dtype)
     shape = jax.ShapeDtypeStruct((plan.grid_nt, G, TH, TW), odt)
     chans = pl.pallas_call(
-        _kernel_grouped(KH, KW, nb, G, nc=nc),
+        _kernel_grouped(KH, KW, nb, G, nc=nc, paired=paired),
         grid_spec=grid_spec,
         out_shape=[shape] * nc,
         interpret=interpret,
@@ -1055,11 +1103,12 @@ def pallas_remap_apply_batched(
     ]
 
     def unpack_ch(gv, ch):
-        if ch == 0 and nc == 1:
+        # residual taps address exact (y, x) pixels, so channel ch lives
+        # in byte field ch regardless of pairing — but paired elements
+        # carry nonzero upper fields, so every field needs the mask
+        if ch == 0 and nc == 1 and not paired:
             return gv.astype(jnp.float32)
-        if ch == 0:
-            return (gv & 0xFF).astype(jnp.float32)
-        if ch == nc - 1:
+        if ch == nc - 1 and not paired:
             return (gv >> (8 * ch)).astype(jnp.float32)
         return ((gv >> (8 * ch)) & 0xFF).astype(jnp.float32)
 

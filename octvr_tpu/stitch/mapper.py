@@ -31,6 +31,7 @@ from ..ops.color import (
 )
 from ..ops.pallas_remap import (
     merge_remap_plans,
+    pack_pairs,
     pallas_remap_apply,
     pallas_remap_apply_batched,
     pallas_remap_plan,
@@ -311,6 +312,7 @@ class Mapper:
                 [(inp.map1, inp.map2) for inp in all_inputs],
                 in_sizes[0][0],
                 in_sizes[0][1],
+                paired=(pipeline == "yuv420"),
             )
 
         rois = [inp.roi for inp in mt.inputs]
@@ -335,6 +337,7 @@ class Mapper:
                 [(a, b) for a, b, _ in hm],
                 in_sizes[0][0] // 2,
                 in_sizes[0][1] // 2,
+                paired=True,
             )
             rois_uv = [r for _, _, r in hm[:n]]
             if blend > 0:
@@ -521,12 +524,11 @@ class Mapper:
                 vh = jnp.asarray(ip.vig_half)
                 uf = jnp.clip((uf - 128.0) * vh + 128.0, 0.0, 255.0)
                 vf = jnp.clip((vf - 128.0) * vh + 128.0, 0.0, 255.0)
-            packs_y.append(
-                jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
-            )
+            yq = jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
+            packs_y.append(pack_pairs([yq]))
             uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
             vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
-            packs_uv.append(uq | (vq << 8))
+            packs_uv.append(pack_pairs([uq, vq]))
 
         warped_y = list(
             pallas_remap_apply_batched(
@@ -534,6 +536,7 @@ class Mapper:
                 plan.batched_remap,
                 out_dtype=remap_dtype,
                 nc=1,
+                paired=True,
                 interpret=self._interpret,
             )
         )
@@ -543,6 +546,7 @@ class Mapper:
                 plan.remap_uv,
                 out_dtype=remap_dtype,
                 nc=2,
+                paired=True,
                 interpret=self._interpret,
             )
         )

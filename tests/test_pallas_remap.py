@@ -125,3 +125,32 @@ def test_pallas_remap_batched_channel_counts():
         pallas_remap_apply_batched(p2, bp, interpret=True, nc=2)[0]
     )
     assert np.abs(got2 - ref[:2]).max() < 1e-3
+
+
+def test_pallas_remap_paired():
+    """paired=True (one gather per fan row, both horizontal taps
+    byte-packed): matches the unpaired path for nc=1 and nc=2."""
+    from octvr_tpu.ops.pallas_remap import pack_pairs
+
+    rng = np.random.default_rng(6)
+    in_h, in_w = 96, 256
+    m1, m2 = _arc_maps(64, 256)
+    chans = rng.uniform(0, 255, (2, in_h, in_w)).astype(np.float32)
+    q = [jnp.asarray(np.round(c).astype(np.int32)) for c in chans]
+
+    bp_u = merge_remap_plans([(m1, m2)], in_h, in_w)
+    bp_p = merge_remap_plans([(m1, m2)], in_h, in_w, paired=True)
+
+    ref1 = pallas_remap_apply_batched(q[0][None], bp_u, interpret=True, nc=1)[0]
+    got1 = pallas_remap_apply_batched(
+        pack_pairs([q[0]])[None], bp_p, interpret=True, nc=1, paired=True
+    )[0]
+    assert np.abs(np.asarray(ref1) - np.asarray(got1)).max() < 1e-3
+
+    ref2 = pallas_remap_apply_batched(
+        (q[0] | (q[1] << 8))[None], bp_u, interpret=True, nc=2
+    )[0]
+    got2 = pallas_remap_apply_batched(
+        pack_pairs(q)[None], bp_p, interpret=True, nc=2, paired=True
+    )[0]
+    assert np.abs(np.asarray(ref2) - np.asarray(got2)).max() < 1e-3

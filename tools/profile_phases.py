@@ -134,7 +134,58 @@ def main():
     timeit("rgb->yuv420p out", phase_out, canvas)
 
     # end to end for comparison
-    timeit("END TO END", mapper._stitch_auto, plan, bufs)
+    timeit("END TO END (rgb)", mapper._stitch_auto, plan, bufs)
+
+    # ---- yuv420-native pipeline phases (the bench default)
+    m2 = Mapper(
+        mt,
+        sizes,
+        blend=128,
+        enable_gain=True,
+        blend_dtype="bfloat16",
+        pipeline="yuv420",
+    )
+    p2 = m2._plan_dev
+
+    @jax.jit
+    def phase_y(plan, bufs):
+        from octvr_tpu.ops.color import split_yuv420p
+
+        packs = []
+        for buf, ip in zip(bufs, plan.inputs):
+            y, _, _ = split_yuv420p(buf)
+            yf = y.astype(jnp.float32)
+            if ip.vignette is not None:
+                yf = jnp.clip(yf * jnp.asarray(ip.vignette), 0.0, 255.0)
+            packs.append(jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32))
+        return pallas_remap_apply_batched(
+            jnp.stack(packs), plan.batched_remap, out_dtype="bfloat16", nc=1
+        )
+
+    timeit("Y pack + 1-ch remap x6", phase_y, p2, bufs)
+
+    @jax.jit
+    def phase_uv(plan, bufs):
+        from octvr_tpu.ops.color import split_yuv420p
+
+        packs = []
+        for buf, ip in zip(bufs, plan.inputs):
+            _, u, v = split_yuv420p(buf)
+            uf = u.astype(jnp.float32)
+            vf = v.astype(jnp.float32)
+            if ip.vig_half is not None:
+                vh = jnp.asarray(ip.vig_half)
+                uf = jnp.clip((uf - 128.0) * vh + 128.0, 0.0, 255.0)
+                vf = jnp.clip((vf - 128.0) * vh + 128.0, 0.0, 255.0)
+            uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
+            vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
+            packs.append(uq | (vq << 8))
+        return pallas_remap_apply_batched(
+            jnp.stack(packs), plan.remap_uv, out_dtype="bfloat16", nc=2
+        )
+
+    timeit("UV pack + 2-ch half-res remap", phase_uv, p2, bufs)
+    timeit("END TO END (yuv420)", m2._stitch_auto, p2, bufs)
 
 
 if __name__ == "__main__":
