@@ -147,6 +147,8 @@ def main():
     )
     p2 = m2._plan_dev
 
+    from octvr_tpu.ops.pallas_remap import pack_pairs
+
     @jax.jit
     def phase_y(plan, bufs):
         from octvr_tpu.ops.color import split_yuv420p
@@ -157,12 +159,17 @@ def main():
             yf = y.astype(jnp.float32)
             if ip.vignette is not None:
                 yf = jnp.clip(yf * jnp.asarray(ip.vignette), 0.0, 255.0)
-            packs.append(jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32))
+            yq = jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
+            packs.append(pack_pairs([yq]))
         return pallas_remap_apply_batched(
-            jnp.stack(packs), plan.batched_remap, out_dtype="bfloat16", nc=1
+            jnp.stack(packs),
+            plan.batched_remap,
+            out_dtype="bfloat16",
+            nc=1,
+            paired=True,
         )
 
-    timeit("Y pack + 1-ch remap x6", phase_y, p2, bufs)
+    timeit("Y pack + 1-ch paired remap x6", phase_y, p2, bufs)
 
     @jax.jit
     def phase_uv(plan, bufs):
@@ -179,12 +186,16 @@ def main():
                 vf = jnp.clip((vf - 128.0) * vh + 128.0, 0.0, 255.0)
             uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
             vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
-            packs.append(uq | (vq << 8))
+            packs.append(pack_pairs([uq, vq]))
         return pallas_remap_apply_batched(
-            jnp.stack(packs), plan.remap_uv, out_dtype="bfloat16", nc=2
+            jnp.stack(packs),
+            plan.remap_uv,
+            out_dtype="bfloat16",
+            nc=2,
+            paired=True,
         )
 
-    timeit("UV pack + 2-ch half-res remap", phase_uv, p2, bufs)
+    timeit("UV pack + 2-ch paired half-res remap", phase_uv, p2, bufs)
     timeit("END TO END (yuv420)", m2._stitch_auto, p2, bufs)
 
 
