@@ -48,6 +48,7 @@ from ..ops.color import (
 from ..ops.pallas_remap import (
     choose_patches,
     merge_remap_plans,
+    pack_pairs,
     pallas_remap_apply_batched,
     pallas_remap_plan,
 )
@@ -88,16 +89,24 @@ class ShardedPlan:
     N: tuple  # gain pair counts, nested tuple
     pairs: tuple
     compute_dtype: str = "float32"  # multiband pyramid precision
+    pipeline: str = "rgb"  # "rgb" | "yuv420"
+    num_bands_uv: int = 0
     # sharded constants, leading axis S
     remap: object = None  # BatchedRemapPlan with [S, ...] leaves
+    remap_uv: object = None  # half-res chroma plan (yuv420 pipeline)
     feather_w: object = None  # [S, ncam, ext, Wp] f32
+    feather_w_uv: object = None  # [S, ncam, ext/2, Wp/2] f32
     weight_pyrs: Optional[List] = None  # per level: [S, ncam, ext>>l, Wp>>l]
     inv_band_weights: Optional[List] = None  # per level: [S, ext>>l, Wp>>l]
+    weight_pyrs_uv: Optional[List] = None
+    inv_band_weights_uv: Optional[List] = None
     gm_i: object = None  # [S, P, gh, gw] f32 pair masks (image i side)
     gm_j: object = None  # [S, P, gh, gw] f32
     overlay_masks: object = None  # [S, nov, bh, Wp] f32
+    overlay_masks_uv: object = None  # [S, nov, bh/2, Wp/2] f32
     # replicated constants
     vignette: object = None  # [ncam+nov, Hf, Wf] f32 (ones if unused)
+    vignette_half: object = None  # [ncam+nov, Hf/2, Wf/2] f32
     gain_b: object = None  # [ncam] f32
     gain_A_static: object = None  # [ncam, ncam] f32
     chroma_up: object = None  # [Wf/2, Wf] f32 MXU chroma upsample
@@ -111,13 +120,19 @@ register_plan(
     ShardedPlan,
     children=(
         "remap",
+        "remap_uv",
         "feather_w",
+        "feather_w_uv",
         "weight_pyrs",
         "inv_band_weights",
+        "weight_pyrs_uv",
+        "inv_band_weights_uv",
         "gm_i",
         "gm_j",
         "overlay_masks",
+        "overlay_masks_uv",
         "vignette",
+        "vignette_half",
         "gain_b",
         "gain_A_static",
         "chroma_up",
@@ -142,6 +157,8 @@ register_plan(
         "N",
         "pairs",
         "compute_dtype",
+        "pipeline",
+        "num_bands_uv",
     ),
 )
 
@@ -149,12 +166,17 @@ register_plan(
 # replicated
 _SPACE_FIELDS = (
     "remap",
+    "remap_uv",
     "feather_w",
+    "feather_w_uv",
     "weight_pyrs",
     "inv_band_weights",
+    "weight_pyrs_uv",
+    "inv_band_weights_uv",
     "gm_i",
     "gm_j",
     "overlay_masks",
+    "overlay_masks_uv",
 )
 
 
@@ -190,6 +212,69 @@ def _stack_remap_plans(plans):
     return jax.tree.unflatten(treedef, stacked)
 
 
+def _homogenized_band_remap(band_maps, Hf, Wf, paired=False):
+    """Per-shard batched remap plans over band map slices, homogenized
+    (common patches, (KH, KW), group G, padded grids/residuals) and
+    stacked on a leading S axis."""
+    from ..ops.pallas_remap import PATCH_CANDIDATES, _patch_row_cost
+
+    n_in = len(band_maps[0])
+    patches = []
+    for i in range(n_in):
+        costs = [
+            sum(
+                _patch_row_cost(bm[i][0], bm[i][1], Hf, Wf, p)
+                for bm in band_maps
+            )
+            for p in PATCH_CANDIDATES
+        ]
+        patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
+    KH = KW = 0
+    for bm in band_maps:
+        for (m1, m2), p in zip(bm, patches):
+            probe = pallas_remap_plan(m1, m2, Hf, Wf, patch=p, paired=paired)
+            KH = max(KH, probe.KH)
+            KW = max(KW, probe.KW)
+    shard_plans = [
+        merge_remap_plans(
+            bm,
+            Hf,
+            Wf,
+            force_kh=KH,
+            force_kw=KW,
+            force_patches=patches,
+            paired=paired,
+        )
+        for bm in band_maps
+    ]
+    # common tiles-per-step group G, then pad to the max step count so
+    # every shard's plan stacks leaf-wise; the expensive per-input plans
+    # are reused (prebuilt_plans) — only the cheap group/pad step reruns
+    per_input = [p.per_input_plans for p in shard_plans]
+    Gc = max(p.G for p in shard_plans)
+    shard_plans = [
+        merge_remap_plans(bm, Hf, Wf, group=Gc, prebuilt_plans=pi)
+        for bm, pi in zip(band_maps, per_input)
+    ]
+    pad_grid = max(p.grid_nt for p in shard_plans)
+    pad_res = [
+        max(p.res[i][0].shape[0] for p in shard_plans) for i in range(n_in)
+    ]
+    shard_plans = [
+        merge_remap_plans(
+            bm,
+            Hf,
+            Wf,
+            group=Gc,
+            pad_grid_nt=pad_grid,
+            pad_res=pad_res,
+            prebuilt_plans=pi,
+        )
+        for bm, pi in zip(band_maps, per_input)
+    ]
+    return _stack_remap_plans(shard_plans)
+
+
 def build_sharded_plan(
     mt: MapperTemplate,
     in_sizes,
@@ -197,11 +282,17 @@ def build_sharded_plan(
     blend: int = 128,
     enable_gain: bool = True,
     blend_dtype: str = "float32",
+    pipeline: str = "rgb",
 ) -> ShardedPlan:
     if blend_dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"blend dtype must be 'float32' or 'bfloat16', got {blend_dtype!r}"
         )
+    assert pipeline in ("rgb", "yuv420")
+    if pipeline == "yuv420":
+        assert all(
+            h % 2 == 0 and w % 2 == 0 for h, w in in_sizes
+        ), "yuv420 pipeline needs even camera sizes"
     W, H = mt.out_size
     ncam = len(mt.inputs)
     nov = len(mt.overlay_inputs)
@@ -258,61 +349,11 @@ def build_sharded_plan(
         ]
         for s in range(S)
     ]
-    # common patch per input: cheapest summed over shards
-    from ..ops.pallas_remap import PATCH_CANDIDATES, _patch_row_cost
+    remap = _homogenized_band_remap(
+        band_maps, Hf, Wf, paired=(pipeline == "yuv420")
+    )
 
-    patches = []
-    for i in range(len(maps)):
-        costs = [
-            sum(
-                _patch_row_cost(bm[i][0], bm[i][1], Hf, Wf, p)
-                for bm in band_maps
-            )
-            for p in PATCH_CANDIDATES
-        ]
-        patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
-    # common (KH, KW): max of per-shard probes
-    KH = KW = 0
-    for bm in band_maps:
-        for (m1, m2), p in zip(bm, patches):
-            probe = pallas_remap_plan(m1, m2, Hf, Wf, patch=p)
-            KH = max(KH, probe.KH)
-            KW = max(KW, probe.KW)
-    shard_plans = [
-        merge_remap_plans(
-            bm, Hf, Wf, force_kh=KH, force_kw=KW, force_patches=patches
-        )
-        for bm in band_maps
-    ]
-    # homogenize: common tiles-per-step group G, then pad to the max
-    # step count so every shard's plan stacks leaf-wise.  The per-input
-    # plans are reused (prebuilt_plans) — only the cheap group/pad
-    # assembly reruns.
-    per_input = [p.per_input_plans for p in shard_plans]
-    Gc = max(p.G for p in shard_plans)
-    shard_plans = [
-        merge_remap_plans(bm, Hf, Wf, group=Gc, prebuilt_plans=pi)
-        for bm, pi in zip(band_maps, per_input)
-    ]
-    pad_grid = max(p.grid_nt for p in shard_plans)
-    pad_res = [
-        max(p.res[i][0].shape[0] for p in shard_plans)
-        for i in range(len(maps))
-    ]
-    shard_plans = [
-        merge_remap_plans(
-            bm,
-            Hf,
-            Wf,
-            group=Gc,
-            pad_grid_nt=pad_grid,
-            pad_res=pad_res,
-            prebuilt_plans=pi,
-        )
-        for bm, pi in zip(band_maps, per_input)
-    ]
-    remap = _stack_remap_plans(shard_plans)
-
+    B_uv = max(1, B - 1) if kind == "multiband" else 0
     plan = ShardedPlan(
         num_inputs=ncam,
         num_overlays=nov,
@@ -325,11 +366,48 @@ def build_sharded_plan(
         canvas_size=(W, H),
         blend_kind=kind,
         num_bands=B,
+        num_bands_uv=B_uv,
         stride=stride,
         N=(),
         pairs=(),
         remap=remap,
+        pipeline=pipeline,
     )
+
+    # ---- yuv420: half-resolution chroma geometry (bands at bh/2 with
+    # halo/2; B_uv = B-1 keeps the same spatial blur extent and halo
+    # alignment since halo = 5*2^B)
+    if pipeline == "yuv420":
+        from ..stitch.yuv_mode import half_maps as _half_maps
+
+        assert bh % 2 == 0 and halo % 2 == 0 and Wp % 2 == 0
+        full_roi = (0, 0, Wp, Hp)
+        maps_uv = [
+            _half_maps(m1, m2, full_roi)[:2] for (m1, m2) in maps
+        ]
+        bh2, halo2 = bh // 2, halo // 2
+
+        def band_slice_uv(arr, s, level=0, pad_value=0.0):
+            h_l = halo2 >> level
+            bh_l = bh2 >> level
+            top = s * bh_l - h_l
+            pad = np.full((h_l,) + arr.shape[1:], pad_value, dtype=arr.dtype)
+            big = np.concatenate([pad, arr, pad], axis=0)
+            return big[top + h_l : top + h_l + bh_l + 2 * h_l]
+
+        band_maps_uv = [
+            [
+                (
+                    band_slice_uv(m1, s, pad_value=-1.0),
+                    band_slice_uv(m2, s, pad_value=-1.0),
+                )
+                for (m1, m2) in maps_uv
+            ]
+            for s in range(S)
+        ]
+        plan.remap_uv = _homogenized_band_remap(
+            band_maps_uv, Hf // 2, Wf // 2, paired=True
+        )
 
     # ---- full-canvas masks (u8) per input
     full_masks = []
@@ -353,6 +431,24 @@ def build_sharded_plan(
         plan.feather_w = np.stack(
             [np.stack([band_slice(wm, s) for wm in norm]) for s in range(S)]
         )
+        if pipeline == "yuv420":
+            bh2, halo2 = bh // 2, halo // 2
+
+            def bs_uv(arr, s):
+                top = s * bh2 - halo2
+                pad = np.zeros((halo2,) + arr.shape[1:], dtype=arr.dtype)
+                big = np.concatenate([pad, arr, pad], axis=0)
+                return big[top + halo2 : top + halo2 + bh2 + 2 * halo2]
+
+            def h2(a):
+                return (
+                    a.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3))
+                ).astype(np.float32)
+
+            norm_uv = [h2(wm) for wm in norm]
+            plan.feather_w_uv = np.stack(
+                [np.stack([bs_uv(wm, s) for wm in norm_uv]) for s in range(S)]
+            )
     elif kind == "multiband":
         full_seams = []
         for inp, sm in zip(mt.inputs, mt.seam_masks):
@@ -415,6 +511,81 @@ def build_sharded_plan(
             plan.up_mats = {k: v.astype(bd) for k, v in up_mats.items()}
             plan.compute_dtype = "bfloat16"
 
+        if pipeline == "yuv420":
+            # chroma blend at half resolution with B_uv = B-1 bands
+            # (same spatial blur extent; halo/2 = 5*2^(B-1) keeps level
+            # alignment)
+            bh2, halo2 = bh // 2, halo // 2
+            ext2 = bh2 + 2 * halo2
+
+            def bs_uv(arr, s, level=0):
+                h_l = halo2 >> level
+                bh_l = bh2 >> level
+                top = s * bh_l - h_l
+                pad = np.zeros((h_l,) + arr.shape[1:], dtype=arr.dtype)
+                big = np.concatenate([pad, arr, pad], axis=0)
+                return big[top + h_l : top + h_l + bh_l + 2 * h_l]
+
+            def h2(a):
+                return (
+                    a.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3))
+                ).astype(np.float32)
+
+            pyrs_uv = []
+            for fs in full_seams:
+                pyr = [h2(fs)]
+                for _ in range(B_uv):
+                    pyr.append(np_pyr_down(pyr[-1]))
+                pyrs_uv.append(pyr)
+            bw_uv = [
+                np.sum([p[l] for p in pyrs_uv], axis=0) + WEIGHT_EPS
+                for l in range(B_uv + 1)
+            ]
+            plan.weight_pyrs_uv = [
+                np.stack(
+                    [
+                        np.stack([bs_uv(p[l], s, level=l) for p in pyrs_uv])
+                        for s in range(S)
+                    ]
+                )
+                for l in range(B_uv + 1)
+            ]
+            plan.inv_band_weights_uv = [
+                np.stack([bs_uv(bw_uv[l], s, level=l) for s in range(S)])
+                for l in range(B_uv + 1)
+            ]
+            for l in range(B_uv + 1):
+                plan.inv_band_weights_uv[l] = (
+                    1.0
+                    / np.maximum(plan.inv_band_weights_uv[l], WEIGHT_EPS)
+                ).astype(np.float32)
+            lengths = set()
+            for l in range(B_uv + 1):
+                lengths.add(ext2 >> l)
+                lengths.add((Wp // 2) >> l)
+            for nl in lengths:
+                if nl >= 2 and nl not in plan.down_mats:
+                    plan.down_mats[nl] = down_matrix(nl)
+                    plan.up_mats[nl >> 1] = up_matrix(nl >> 1)
+            if blend_dtype == "bfloat16":
+                import ml_dtypes
+
+                bd = np.dtype(ml_dtypes.bfloat16)
+                plan.weight_pyrs_uv = [
+                    p.astype(bd) for p in plan.weight_pyrs_uv
+                ]
+                plan.inv_band_weights_uv = [
+                    b.astype(bd) for b in plan.inv_band_weights_uv
+                ]
+                plan.down_mats = {
+                    k: (v.astype(bd) if v.dtype != bd else v)
+                    for k, v in plan.down_mats.items()
+                }
+                plan.up_mats = {
+                    k: (v.astype(bd) if v.dtype != bd else v)
+                    for k, v in plan.up_mats.items()
+                }
+
     # ---- gain constants on the global working grid (exact Mapper
     # parity: same stride, same subsample origin, psum over 'space')
     if enable_gain and ncam > 1:
@@ -469,6 +640,29 @@ def build_sharded_plan(
                 for s in range(S)
             ]
         )
+        if pipeline == "yuv420":
+            bh2, halo2 = bh // 2, halo // 2
+            oms_uv = [
+                (
+                    om.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3)) > 0
+                ).astype(np.float32)
+                for om in oms
+            ]
+
+            def bs_uv(arr, s):
+                top = s * bh2 - halo2
+                pad = np.zeros((halo2,) + arr.shape[1:], dtype=arr.dtype)
+                big = np.concatenate([pad, arr, pad], axis=0)
+                return big[top + halo2 : top + halo2 + bh2 + 2 * halo2]
+
+            plan.overlay_masks_uv = np.stack(
+                [
+                    np.stack(
+                        [bs_uv(om, s)[halo2 : halo2 + bh2] for om in oms_uv]
+                    )
+                    for s in range(S)
+                ]
+            )
 
     # ---- vignette (replicated; ones where unused)
     vigs = []
@@ -482,6 +676,15 @@ def build_sharded_plan(
         else:
             vigs.append(np.ones((Hf, Wf), dtype=np.float32))
     plan.vignette = np.stack(vigs)
+    if pipeline == "yuv420":
+        plan.vignette_half = np.stack(
+            [
+                v.reshape(Hf // 2, 2, Wf // 2, 2)
+                .mean(axis=(1, 3))
+                .astype(np.float32)
+                for v in vigs
+            ]
+        )
     plan.chroma_up = up_cols_matrix(Wf // 2)
     plan.chroma_down = down_cols_matrix(Wp)
     if stride > 1:
@@ -635,6 +838,197 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     return rgb_planar_to_yuv420p(interior, down_cols=plan.chroma_down), gains
 
 
+def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
+    """YUV420-native band stitch (see stitch/yuv_mode.py): pair-packed
+    1-channel Y fan at full band resolution + 2-channel chroma fan at
+    half resolution, per-plane blends, centered chroma, packed YUV420P
+    band output."""
+    assert out_format == "yuv420p"
+    ncam = plan.num_inputs
+    ntotal = ncam + plan.num_overlays
+    ext, Wp, halo, bh = plan.ext, plan.Wp, plan.halo, plan.bh
+    bh2, halo2 = bh // 2, halo // 2
+    Wp2 = Wp // 2
+
+    remap_dtype = (
+        plan.compute_dtype if plan.blend_kind == "multiband" else "float32"
+    )
+    packs_y, packs_uv = [], []
+    for i in range(ntotal):
+        y, u, v = split_yuv420p(frames[i])
+        yf = jnp.clip(y.astype(jnp.float32) * plan.vignette[i], 0.0, 255.0)
+        vh = plan.vignette_half[i]
+        uf = jnp.clip((u.astype(jnp.float32) - 128.0) * vh + 128.0, 0.0, 255.0)
+        vf = jnp.clip((v.astype(jnp.float32) - 128.0) * vh + 128.0, 0.0, 255.0)
+        yq = jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
+        uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
+        vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
+        packs_y.append(pack_pairs([yq]))
+        packs_uv.append(pack_pairs([uq, vq]))
+
+    warped_y = list(
+        pallas_remap_apply_batched(
+            jnp.stack(packs_y),
+            plan.remap,
+            interpret=interpret,
+            out_dtype=remap_dtype,
+            nc=1,
+            paired=True,
+        )
+    )  # per input [1, ext, Wp]
+    warped_uv = list(
+        pallas_remap_apply_batched(
+            jnp.stack(packs_uv),
+            plan.remap_uv,
+            interpret=interpret,
+            out_dtype=remap_dtype,
+            nc=2,
+            paired=True,
+        )
+    )  # per input [2, ext/2, Wp/2]
+    # centered chroma: covered pixels carry (U-128, V-128); uncovered
+    # stay 0 and become neutral 128 at the output stage
+    warped_uv = [w - jnp.asarray(128.0, w.dtype) for w in warped_uv]
+
+    gains = jnp.ones((ncam,), dtype=jnp.float32)
+    if plan.gm_i is not None and plan.pairs:
+        from ..stitch.mapper import _pool_pow2
+
+        st = plan.stride
+        norms = []
+        for i in range(ncam):
+            wimg = _pool_pow2(
+                warped_y[i][:, halo : halo + bh].astype(jnp.float32),
+                st,
+                col_mat=plan.pool_cols,
+            )
+            # sqrt(3)*Y approximates the reference's RGB L2 norm for
+            # gray pixels, keeping gain magnitudes comparable under the
+            # beta prior
+            norms.append(math.sqrt(3.0) * wimg[0])
+        sums = []
+        for p, (i, j) in enumerate(plan.pairs):
+            sums.append(jnp.sum(norms[i] * plan.gm_i[p]))
+            sums.append(jnp.sum(norms[j] * plan.gm_j[p]))
+        sums = jax.lax.psum(jnp.stack(sums), "space")
+        n = ncam
+        I = jnp.zeros((n, n), dtype=jnp.float32)
+        for p, (i, j) in enumerate(plan.pairs):
+            cnt = float(plan.N[i][j])
+            I = I.at[i, j].set(sums[2 * p] / cnt)
+            I = I.at[j, i].set(sums[2 * p + 1] / cnt)
+        Nf = jnp.asarray(np.array(plan.N, dtype=np.float32))
+        off = 1.0 - jnp.eye(n, dtype=jnp.float32)
+        diag_dyn = jnp.sum(2.0 * ALPHA * I * I * Nf * off, axis=1)
+        A = (
+            plan.gain_A_static
+            + jnp.diag(diag_dyn)
+            - 2.0 * ALPHA * I * I.T * Nf * off
+        )
+        gains = jnp.linalg.solve(A, plan.gain_b)
+        warped_y[:ncam] = [
+            w * gains[i].astype(w.dtype)
+            for i, w in enumerate(warped_y[:ncam])
+        ]
+        warped_uv[:ncam] = [
+            w * gains[i].astype(w.dtype)
+            for i, w in enumerate(warped_uv[:ncam])
+        ]
+
+    def blend_plane(imgs, wpyrs, inv_bw, feather_w, B, e, w, h_halo):
+        cdt = jnp.dtype(plan.compute_dtype)
+        if plan.blend_kind == "feather":
+            return sum(
+                im * feather_w[i][None] for i, im in enumerate(imgs)
+            )
+        if plan.blend_kind == "multiband":
+
+            def down(z):
+                _, hh, ww = z.shape
+                if hh in plan.down_mats and ww in plan.down_mats:
+                    return pyr_down_mm(
+                        z, plan.down_mats[hh], plan.down_mats[ww]
+                    ).astype(cdt)
+                from ..ops.pyramid import pyr_down
+
+                return pyr_down(z.astype(jnp.float32)).astype(cdt)
+
+            def up(z):
+                _, hh, ww = z.shape
+                if hh in plan.up_mats and ww in plan.up_mats:
+                    return pyr_up_mm(
+                        z, plan.up_mats[hh], plan.up_mats[ww]
+                    ).astype(cdt)
+                from ..ops.pyramid import pyr_up
+
+                return pyr_up(z.astype(jnp.float32)).astype(cdt)
+
+            c = imgs[0].shape[0]
+            dst = [
+                jnp.zeros((c, e >> l, w >> l), dtype=cdt)
+                for l in range(B + 1)
+            ]
+            for i, wd in enumerate(imgs):
+                gauss = [wd]
+                for _ in range(B):
+                    gauss.append(down(gauss[-1]))
+                for l in range(B + 1):
+                    lap = gauss[l] - up(gauss[l + 1]) if l < B else gauss[B]
+                    dst[l] = dst[l] + lap * wpyrs[l][i][None]
+            for l in range(B + 1):
+                dst[l] = dst[l] * inv_bw[l][None]
+            band = dst[B]
+            for l in range(B - 1, -1, -1):
+                band = up(band) + dst[l]
+            return band
+        total = sum(
+            (im != 0).any(axis=0).astype(jnp.float32) for im in imgs
+        )
+        return sum(imgs) / jnp.maximum(total, 1.0)
+
+    band_y = blend_plane(
+        warped_y[:ncam],
+        plan.weight_pyrs,
+        plan.inv_band_weights,
+        plan.feather_w,
+        plan.num_bands,
+        ext,
+        Wp,
+        halo,
+    )
+    band_uv = blend_plane(
+        warped_uv[:ncam],
+        plan.weight_pyrs_uv,
+        plan.inv_band_weights_uv,
+        plan.feather_w_uv,
+        plan.num_bands_uv,
+        ext // 2,
+        Wp2,
+        halo2,
+    )
+
+    int_y = band_y[:, halo : halo + bh].astype(jnp.float32)
+    int_uv = band_uv[:, halo2 : halo2 + bh2].astype(jnp.float32)
+
+    # overlay paste (mapper.cpp:279-282 semantics), Y and centered UV
+    for k in range(plan.num_overlays):
+        ovy = warped_y[ncam + k][:, halo : halo + bh].astype(jnp.float32)
+        m = plan.overlay_masks[k][None]
+        int_y = int_y * (1.0 - m) + ovy * m
+        ovuv = warped_uv[ncam + k][:, halo2 : halo2 + bh2].astype(
+            jnp.float32
+        )
+        m2 = plan.overlay_masks_uv[k][None]
+        int_uv = int_uv * (1.0 - m2) + ovuv * m2
+
+    y8 = jnp.clip(jnp.round(int_y[0]), 0, 255).astype(jnp.uint8)
+    u8 = jnp.clip(jnp.round(int_uv[0] + 128.0), 0, 255).astype(jnp.uint8)
+    v8 = jnp.clip(jnp.round(int_uv[1] + 128.0), 0, 255).astype(jnp.uint8)
+    from ..ops.color import merge_yuv420p
+
+    return merge_yuv420p(y8, u8, v8), gains
+
+
 class ShardedMapper:
     """Stitch batches of frame sets over a ('data', 'space') mesh.
 
@@ -651,8 +1045,10 @@ class ShardedMapper:
         enable_gain: bool = True,
         out_format: str = "yuv420p",
         blend_dtype: str = "float32",
+        pipeline: str = "rgb",
     ):
         assert out_format in ("yuv420p", "rgb")
+        assert pipeline == "rgb" or out_format == "yuv420p"
         self.mesh = mesh
         self.out_format = out_format
         S = mesh.shape["space"]
@@ -663,6 +1059,7 @@ class ShardedMapper:
             blend=blend,
             enable_gain=enable_gain,
             blend_dtype=blend_dtype,
+            pipeline=pipeline,
         )
         interpret = jax.devices()[0].platform != "tpu"
 
@@ -710,9 +1107,14 @@ class ShardedMapper:
             )
             # static unroll over the (small) per-device batch — vmap over
             # a scalar-prefetch pallas_call is not supported
+            band_fn = (
+                _stitch_band_yuv
+                if plan_sq.pipeline == "yuv420"
+                else _stitch_band
+            )
             outs, gains = [], []
             for b in range(frames_local.shape[0]):
-                o, g = _stitch_band(
+                o, g = band_fn(
                     plan_sq, frames_local[b], interpret, out_format
                 )
                 outs.append(o)

@@ -122,3 +122,36 @@ def test_sharded_bf16_blend(setup):
     y1 = sm1.assemble_yuv(np.asarray(sm1.stitch_batch(batch)[0])[0])
     err1 = np.abs(y1.astype(np.float32) - y32.astype(np.float32))
     assert err1.mean() < 1.0, err1.mean()
+
+
+def test_sharded_yuv420_pipeline(setup):
+    """Sharded yuv420 pipeline (pair-packed Y/UV fans, per-plane blends,
+    half-res chroma bands with halo/2): same product as the single-chip
+    yuv420 Mapper within rounding, and parity with the sharded RGB path
+    up to the 4:2:0 chroma resample."""
+    rig, mt, sizes, frames = setup
+    mesh = make_mesh(1, 4)
+    batch = np.stack([np.stack(frames)])
+
+    sm = ShardedMapper(
+        mt, sizes, mesh, blend=8, enable_gain=True, pipeline="yuv420"
+    )
+    yuv_sh = sm.assemble_yuv(np.asarray(sm.stitch_batch(batch)[0])[0])
+
+    single = Mapper(mt, sizes, blend=8, enable_gain=True, pipeline="yuv420")
+    out_s, gains_s = single.stitch(frames)
+    out_s = np.asarray(out_s)
+
+    h = out_s.shape[0] * 2 // 3
+    y_err = np.abs(
+        yuv_sh[:h].astype(np.float32) - out_s[:h].astype(np.float32)
+    )
+    # interior rows (band boundaries see different pyramid supports)
+    assert y_err[4:-4].mean() < 1.5, y_err[4:-4].mean()
+    c_err = np.abs(
+        yuv_sh[h:].astype(np.float32) - out_s[h:].astype(np.float32)
+    )
+    assert c_err[2:-2].mean() < 2.0, c_err[2:-2].mean()
+
+    g_sh = np.asarray(sm.stitch_batch(batch)[1])[0]
+    np.testing.assert_allclose(g_sh, np.asarray(gains_s), rtol=5e-3, atol=5e-3)
