@@ -91,18 +91,30 @@ class ShardedPlan:
     compute_dtype: str = "float32"  # multiband pyramid precision
     pipeline: str = "rgb"  # "rgb" | "yuv420"
     num_bands_uv: int = 0
+    # per-input aligned band ROIs (VERDICT r2 item 2): work is ROI-sized,
+    # not band-sized.  x extent is shard-independent (bands split rows);
+    # the y window has a homogenized height and a per-shard offset.
+    ralign: int = 1  # ROI alignment: lcm(2^B, stride, chroma needs)
+    ghalo: int = 0  # halo // stride (gain-grid rows of halo)
+    rois: tuple = ()  # per input (ix0, iw, hmax) — canvas-x, window h
+    # per input: band-row offset when identical on every shard (the
+    # common case: side cameras, or S == 1 — placement is a STATIC
+    # slice), else None and the offset rides in the roi_oy leaf
+    roi_oy_static: tuple = ()
     # sharded constants, leading axis S
+    roi_oy: object = None  # [S, ncam+nov] i32 per-shard band-row offsets
     remap: object = None  # BatchedRemapPlan with [S, ...] leaves
     remap_uv: object = None  # half-res chroma plan (yuv420 pipeline)
-    feather_w: object = None  # [S, ncam, ext, Wp] f32
-    feather_w_uv: object = None  # [S, ncam, ext/2, Wp/2] f32
-    weight_pyrs: Optional[List] = None  # per level: [S, ncam, ext>>l, Wp>>l]
+    feather_w: object = None  # list per input: [S, hmax_i, iw_i] f32
+    feather_w_uv: object = None  # list per input: [S, hmax_i/2, iw_i/2]
+    # nested lists: [level][input] -> [S, hmax_i>>l, iw_i>>l]
+    weight_pyrs: Optional[List] = None
     inv_band_weights: Optional[List] = None  # per level: [S, ext>>l, Wp>>l]
     weight_pyrs_uv: Optional[List] = None
     inv_band_weights_uv: Optional[List] = None
     gm_i: object = None  # [S, P, gh, gw] f32 pair masks (image i side)
     gm_j: object = None  # [S, P, gh, gw] f32
-    overlay_masks: object = None  # [S, nov, bh, Wp] f32
+    overlay_masks: object = None  # [S, nov, bh, Wp] f32 (interior rows)
     overlay_masks_uv: object = None  # [S, nov, bh/2, Wp/2] f32
     # replicated constants
     vignette: object = None  # [ncam+nov, Hf, Wf] f32 (ones if unused)
@@ -111,7 +123,7 @@ class ShardedPlan:
     gain_A_static: object = None  # [ncam, ncam] f32
     chroma_up: object = None  # [Wf/2, Wf] f32 MXU chroma upsample
     chroma_down: object = None  # [Wp, Wp/2] f32 MXU chroma subsample
-    pool_cols: object = None  # [Wp, Wp/stride] MXU gain-pool matrix
+    pool_cols_roi: object = None  # dict {iw: [iw, iw/stride]} MXU pool
     down_mats: dict = field(default_factory=dict)  # {n: [n/2, n]}
     up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
 
@@ -119,6 +131,7 @@ class ShardedPlan:
 register_plan(
     ShardedPlan,
     children=(
+        "roi_oy",
         "remap",
         "remap_uv",
         "feather_w",
@@ -137,7 +150,7 @@ register_plan(
         "gain_A_static",
         "chroma_up",
         "chroma_down",
-        "pool_cols",
+        "pool_cols_roi",
         "down_mats",
         "up_mats",
     ),
@@ -159,12 +172,17 @@ register_plan(
         "compute_dtype",
         "pipeline",
         "num_bands_uv",
+        "ralign",
+        "ghalo",
+        "rois",
+        "roi_oy_static",
     ),
 )
 
 # leaves with the leading S axis (sharded over 'space'); the rest are
 # replicated
 _SPACE_FIELDS = (
+    "roi_oy",
     "remap",
     "remap_uv",
     "feather_w",
@@ -182,6 +200,10 @@ _SPACE_FIELDS = (
 
 def _round_up(v, m):
     return (v + m - 1) // m * m
+
+
+def _round_down(v, m):
+    return v // m * m
 
 
 def _full_canvas_maps(mt: MapperTemplate, Hp, Wp):
@@ -284,6 +306,15 @@ def build_sharded_plan(
     blend_dtype: str = "float32",
     pipeline: str = "rgb",
 ) -> ShardedPlan:
+    """Per-input aligned band ROIs (the reference's per-region
+    ROI-cropped Mapper work, async.cpp:247-259 + the aligned-ROI
+    GPUStaticBlender geometry, blenders.cpp:594-640): every per-frame
+    stage — remap gather, gain pooling, blend pyramids — runs at window
+    size [hmax_i, iw_i], not band size [ext, Wp].  The x window is
+    shard-independent (bands split rows); the y window is homogenized to
+    one height per input across shards, with the per-shard row offset a
+    static slice when it coincides on every shard (always at S=1) and a
+    tiny ``roi_oy`` plan leaf otherwise."""
     if blend_dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"blend dtype must be 'float32' or 'bfloat16', got {blend_dtype!r}"
@@ -296,6 +327,7 @@ def build_sharded_plan(
     W, H = mt.out_size
     ncam = len(mt.inputs)
     nov = len(mt.overlay_inputs)
+    ntotal = ncam + nov
     sizes = set(tuple(s) for s in in_sizes)
     assert len(sizes) == 1, "sharded path requires equal camera sizes"
     Hf, Wf = in_sizes[0]
@@ -317,19 +349,57 @@ def build_sharded_plan(
     stride = max(1, int(round(1.0 / working_scale)))
     stride = 1 << max(0, int(round(math.log2(stride))))
 
-    step = 1 << max(B, 2)
-    align = max(step, stride, 4)  # bh % 4 == 0 for per-band YUV420
-    Hp = _round_up(H, n_space * align)
-    Wp = _round_up(W, max(step, stride, 2))
+    step = 1 << B
+    # ROI alignment: window offsets/extents stay exact at every pyramid
+    # level (2^B; /2 for the half-res chroma bands since ralign >= 4),
+    # on the gain working grid (stride), and on the YUV420 2x2 grid
+    ralign = max(step, stride, 4)
+    Hp = _round_up(H, n_space * ralign)
+    Wp = _round_up(W, ralign)
     bh = Hp // n_space
-    halo = 5 * (1 << B) if kind == "multiband" else 8
+    halo = 5 * step if kind == "multiband" else 8
+    halo = _round_up(halo, ralign)
     if n_space == 1:
         halo = 0  # no neighbor bands: halo rows would be pure padding
-    # halo must stay a multiple of 2^B for level alignment
     ext = bh + 2 * halo
     S = n_space
+    assert ext % ralign == 0 and halo % max(stride, 1) == 0
+    ghalo = halo // stride
 
     maps = _full_canvas_maps(mt, Hp, Wp)
+    all_inputs = mt.inputs + mt.overlay_inputs
+
+    # ---- per-input aligned windows: static x extent, homogenized y
+    # height, per-shard y offset.  gap = 5*2^B is the pyramid support of
+    # the blend weights (blenders.cpp:625-640); feather weights live
+    # strictly inside the mask, overlays are plain pastes -> no gap.
+    gap = 5 * step if kind == "multiband" else 0
+    rois = []
+    oy_table = np.zeros((S, ntotal), dtype=np.int32)
+    oy_static = []
+    for idx, inp in enumerate(all_inputs):
+        x, y, w_, h_ = inp.roi
+        g = gap if idx < ncam else 0
+        x0 = max(0, _round_down(x - g, ralign))
+        x1 = min(Wp, _round_up(x + w_ + g, ralign))
+        iw = x1 - x0
+        wins = []
+        for s in range(S):
+            top = s * bh - halo
+            ly0 = max(0, _round_down(y - g - top, ralign))
+            ly1 = min(ext, _round_up(y + h_ + g - top, ralign))
+            wins.append((ly0, ly1) if ly1 > ly0 else None)
+        hmax = max((w1 - w0 for w in wins if w for (w0, w1) in [w]), default=0)
+        hmax = min(ext, max(hmax, ralign))
+        oys = []
+        for s, wnd in enumerate(wins):
+            o = 0 if wnd is None else min(wnd[0], ext - hmax)
+            oys.append(o)
+            oy_table[s, idx] = o
+        rois.append((x0, iw, hmax))
+        oy_static.append(
+            oys[0] if all(o == oys[0] for o in oys) else None
+        )
 
     def band_slice(arr, s, level=0, pad_value=0.0):
         """Rows of the extended band s from a full padded array at pyramid
@@ -341,11 +411,24 @@ def build_sharded_plan(
         big = np.concatenate([pad, arr, pad], axis=0)
         return big[top + h_l : top + h_l + bh_l + 2 * h_l]
 
-    # ---- batched Pallas remap plans, one per shard, homogenized
+    def wslice(arr, s, idx, level=0, pad_value=0.0):
+        """Input ``idx``'s window of band ``s`` at pyramid ``level``."""
+        x0, iw, hmax = rois[idx]
+        b = band_slice(arr, s, level=level, pad_value=pad_value)
+        o = int(oy_table[s, idx]) >> level
+        return b[
+            o : o + (hmax >> level), (x0 >> level) : ((x0 + iw) >> level)
+        ]
+
+    # ---- batched Pallas remap plans over window map slices, one per
+    # shard, homogenized; kernel output is window-sized directly
     band_maps = [
         [
-            (band_slice(m1, s, pad_value=-1.0), band_slice(m2, s, pad_value=-1.0))
-            for (m1, m2) in maps
+            (
+                wslice(m1, s, i, pad_value=-1.0),
+                wslice(m2, s, i, pad_value=-1.0),
+            )
+            for i, (m1, m2) in enumerate(maps)
         ]
         for s in range(S)
     ]
@@ -372,36 +455,49 @@ def build_sharded_plan(
         pairs=(),
         remap=remap,
         pipeline=pipeline,
+        ralign=ralign,
+        ghalo=ghalo,
+        rois=tuple(rois),
+        roi_oy_static=tuple(oy_static),
+        roi_oy=oy_table,
     )
 
-    # ---- yuv420: half-resolution chroma geometry (bands at bh/2 with
+    bh2, halo2 = bh // 2, halo // 2
+    ext2 = ext // 2
+
+    def bs_uv(arr, s, level=0, pad_value=0.0):
+        h_l = halo2 >> level
+        bh_l = bh2 >> level
+        top = s * bh_l - h_l
+        pad = np.full((h_l,) + arr.shape[1:], pad_value, dtype=arr.dtype)
+        big = np.concatenate([pad, arr, pad], axis=0)
+        return big[top + h_l : top + h_l + bh_l + 2 * h_l]
+
+    def wslice_uv(arr, s, idx, level=0, pad_value=0.0):
+        x0, iw, hmax = rois[idx]
+        b = bs_uv(arr, s, level=level, pad_value=pad_value)
+        o = (int(oy_table[s, idx]) // 2) >> level
+        return b[
+            o : o + ((hmax // 2) >> level),
+            ((x0 // 2) >> level) : (((x0 + iw) // 2) >> level),
+        ]
+
+    # ---- yuv420: half-resolution chroma geometry (windows at /2 with
     # halo/2; B_uv = B-1 keeps the same spatial blur extent and halo
-    # alignment since halo = 5*2^B)
+    # alignment since ralign >= 4)
     if pipeline == "yuv420":
         from ..stitch.yuv_mode import half_maps as _half_maps
 
         assert bh % 2 == 0 and halo % 2 == 0 and Wp % 2 == 0
         full_roi = (0, 0, Wp, Hp)
-        maps_uv = [
-            _half_maps(m1, m2, full_roi)[:2] for (m1, m2) in maps
-        ]
-        bh2, halo2 = bh // 2, halo // 2
-
-        def band_slice_uv(arr, s, level=0, pad_value=0.0):
-            h_l = halo2 >> level
-            bh_l = bh2 >> level
-            top = s * bh_l - h_l
-            pad = np.full((h_l,) + arr.shape[1:], pad_value, dtype=arr.dtype)
-            big = np.concatenate([pad, arr, pad], axis=0)
-            return big[top + h_l : top + h_l + bh_l + 2 * h_l]
-
+        maps_uv = [_half_maps(m1, m2, full_roi)[:2] for (m1, m2) in maps]
         band_maps_uv = [
             [
                 (
-                    band_slice_uv(m1, s, pad_value=-1.0),
-                    band_slice_uv(m2, s, pad_value=-1.0),
+                    wslice_uv(m1, s, i, pad_value=-1.0),
+                    wslice_uv(m2, s, i, pad_value=-1.0),
                 )
-                for (m1, m2) in maps_uv
+                for i, (m1, m2) in enumerate(maps_uv)
             ]
             for s in range(S)
         ]
@@ -417,7 +513,13 @@ def build_sharded_plan(
         fm[y : y + h_, x : x + w_] = inp.mask
         full_masks.append(fm)
 
-    # ---- blend constants
+    def h2(a):
+        return (
+            a.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3))
+        ).astype(np.float32)
+
+    # ---- blend constants (window-sized per input; band-sized
+    # normalizers)
     if kind == "feather":
         border = -blend
         dst = np.full((Hp, Wp), WEIGHT_EPS, dtype=np.float32)
@@ -428,27 +530,16 @@ def build_sharded_plan(
             raw.append(wmap)
             dst += wmap
         norm = [wm / dst for wm in raw]
-        plan.feather_w = np.stack(
-            [np.stack([band_slice(wm, s) for wm in norm]) for s in range(S)]
-        )
+        plan.feather_w = [
+            np.stack([wslice(wm, s, i) for s in range(S)])
+            for i, wm in enumerate(norm)
+        ]
         if pipeline == "yuv420":
-            bh2, halo2 = bh // 2, halo // 2
-
-            def bs_uv(arr, s):
-                top = s * bh2 - halo2
-                pad = np.zeros((halo2,) + arr.shape[1:], dtype=arr.dtype)
-                big = np.concatenate([pad, arr, pad], axis=0)
-                return big[top + halo2 : top + halo2 + bh2 + 2 * halo2]
-
-            def h2(a):
-                return (
-                    a.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3))
-                ).astype(np.float32)
-
             norm_uv = [h2(wm) for wm in norm]
-            plan.feather_w_uv = np.stack(
-                [np.stack([bs_uv(wm, s) for wm in norm_uv]) for s in range(S)]
-            )
+            plan.feather_w_uv = [
+                np.stack([wslice_uv(wm, s, i) for s in range(S)])
+                for i, wm in enumerate(norm_uv)
+            ]
     elif kind == "multiband":
         full_seams = []
         for inp, sm in zip(mt.inputs, mt.seam_masks):
@@ -467,13 +558,12 @@ def build_sharded_plan(
             np.sum([p[l] for p in pyrs], axis=0) + WEIGHT_EPS
             for l in range(B + 1)
         ]
+        # nested [level][input] -> [S, hmax_i>>l, iw_i>>l]
         plan.weight_pyrs = [
-            np.stack(
-                [
-                    np.stack([band_slice(p[l], s, level=l) for p in pyrs])
-                    for s in range(S)
-                ]
-            )
+            [
+                np.stack([wslice(p[l], s, i, level=l) for s in range(S)])
+                for i, p in enumerate(pyrs)
+            ]
             for l in range(B + 1)
         ]
         plan.inv_band_weights = [
@@ -490,6 +580,9 @@ def build_sharded_plan(
         for l in range(B + 1):
             lengths.add(ext >> l)
             lengths.add(Wp >> l)
+            for (x0, iw, hmax) in rois[:ncam]:
+                lengths.add(hmax >> l)
+                lengths.add(iw >> l)
         for nl in lengths:
             if nl >= 2:
                 down_mats[nl] = down_matrix(nl)
@@ -503,7 +596,9 @@ def build_sharded_plan(
             import ml_dtypes
 
             bd = np.dtype(ml_dtypes.bfloat16)
-            plan.weight_pyrs = [p.astype(bd) for p in plan.weight_pyrs]
+            plan.weight_pyrs = [
+                [p.astype(bd) for p in lvl] for lvl in plan.weight_pyrs
+            ]
             plan.inv_band_weights = [
                 b.astype(bd) for b in plan.inv_band_weights
             ]
@@ -513,24 +608,7 @@ def build_sharded_plan(
 
         if pipeline == "yuv420":
             # chroma blend at half resolution with B_uv = B-1 bands
-            # (same spatial blur extent; halo/2 = 5*2^(B-1) keeps level
-            # alignment)
-            bh2, halo2 = bh // 2, halo // 2
-            ext2 = bh2 + 2 * halo2
-
-            def bs_uv(arr, s, level=0):
-                h_l = halo2 >> level
-                bh_l = bh2 >> level
-                top = s * bh_l - h_l
-                pad = np.zeros((h_l,) + arr.shape[1:], dtype=arr.dtype)
-                big = np.concatenate([pad, arr, pad], axis=0)
-                return big[top + h_l : top + h_l + bh_l + 2 * h_l]
-
-            def h2(a):
-                return (
-                    a.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3))
-                ).astype(np.float32)
-
+            # (same spatial blur extent; halo/2 keeps level alignment)
             pyrs_uv = []
             for fs in full_seams:
                 pyr = [h2(fs)]
@@ -542,12 +620,12 @@ def build_sharded_plan(
                 for l in range(B_uv + 1)
             ]
             plan.weight_pyrs_uv = [
-                np.stack(
-                    [
-                        np.stack([bs_uv(p[l], s, level=l) for p in pyrs_uv])
-                        for s in range(S)
-                    ]
-                )
+                [
+                    np.stack(
+                        [wslice_uv(p[l], s, i, level=l) for s in range(S)]
+                    )
+                    for i, p in enumerate(pyrs_uv)
+                ]
                 for l in range(B_uv + 1)
             ]
             plan.inv_band_weights_uv = [
@@ -563,6 +641,9 @@ def build_sharded_plan(
             for l in range(B_uv + 1):
                 lengths.add(ext2 >> l)
                 lengths.add((Wp // 2) >> l)
+                for (x0, iw, hmax) in rois[:ncam]:
+                    lengths.add((hmax // 2) >> l)
+                    lengths.add((iw // 2) >> l)
             for nl in lengths:
                 if nl >= 2 and nl not in plan.down_mats:
                     plan.down_mats[nl] = down_matrix(nl)
@@ -572,7 +653,8 @@ def build_sharded_plan(
 
                 bd = np.dtype(ml_dtypes.bfloat16)
                 plan.weight_pyrs_uv = [
-                    p.astype(bd) for p in plan.weight_pyrs_uv
+                    [p.astype(bd) for p in lvl]
+                    for lvl in plan.weight_pyrs_uv
                 ]
                 plan.inv_band_weights_uv = [
                     b.astype(bd) for b in plan.inv_band_weights_uv
@@ -641,20 +723,7 @@ def build_sharded_plan(
             ]
         )
         if pipeline == "yuv420":
-            bh2, halo2 = bh // 2, halo // 2
-            oms_uv = [
-                (
-                    om.reshape(Hp // 2, 2, Wp // 2, 2).mean(axis=(1, 3)) > 0
-                ).astype(np.float32)
-                for om in oms
-            ]
-
-            def bs_uv(arr, s):
-                top = s * bh2 - halo2
-                pad = np.zeros((halo2,) + arr.shape[1:], dtype=arr.dtype)
-                big = np.concatenate([pad, arr, pad], axis=0)
-                return big[top + halo2 : top + halo2 + bh2 + 2 * halo2]
-
+            oms_uv = [(h2(om) > 0).astype(np.float32) for om in oms]
             plan.overlay_masks_uv = np.stack(
                 [
                     np.stack(
@@ -690,12 +759,175 @@ def build_sharded_plan(
     if stride > 1:
         from ..stitch.mapper import _pool_cols_matrix
 
-        plan.pool_cols = _pool_cols_matrix(Wp, stride)
+        plan.pool_cols_roi = {
+            iw: _pool_cols_matrix(iw, stride)
+            for (x0, iw, hmax) in set(rois[:ncam])
+        }
 
     return plan
 
 
 # ------------------------------------------------------------------ forward
+
+
+def _win_oy(plan: ShardedPlan, i: int, div: int = 1):
+    """Input i's band-row window offset: a python int when the offset
+    coincides on every shard (always at S=1), else the tiny per-shard
+    ``roi_oy`` leaf (traced)."""
+    o = plan.roi_oy_static[i]
+    if o is not None:
+        return o // div
+    return plan.roi_oy[i] // div
+
+
+def _paste_add(dst, src, oy, ox):
+    """dst[..., oy:oy+h, ox:ox+w] += src.  ``ox`` is always static;
+    ``oy`` may be a traced per-shard scalar (dynamic_update_slice)."""
+    h, w = src.shape[-2], src.shape[-1]
+    if isinstance(oy, (int, np.integer)):
+        return dst.at[..., oy : oy + h, ox : ox + w].add(
+            src.astype(dst.dtype)
+        )
+    idx = tuple(jnp.int32(0) for _ in range(dst.ndim - 2)) + (
+        jnp.asarray(oy, jnp.int32),
+        jnp.int32(ox),
+    )
+    cur = jax.lax.dynamic_slice(dst, idx, src.shape)
+    return jax.lax.dynamic_update_slice(
+        dst, (cur + src).astype(dst.dtype), idx
+    )
+
+
+def _window_norm_grid(plan: ShardedPlan, wimg, i, reduce_fn):
+    """Pooled working-grid norms of input i's window, pasted into the
+    band-interior working grid [gh, gw] — identical global blocks (and
+    therefore identical gain sums) to the single-chip Mapper."""
+    from ..stitch.mapper import _pool_pow2
+
+    x0, iw, hmax = plan.rois[i]
+    st = plan.stride
+    x = wimg.astype(jnp.float32)
+    x = _pool_pow2(
+        x, st, col_mat=(plan.pool_cols_roi[iw] if st > 1 else None)
+    )
+    nrm = reduce_fn(x)  # [hmax/st, iw/st]
+    grid = jnp.zeros((plan.ext // st, plan.Wp // st), jnp.float32)
+    grid = _paste_add(grid, nrm, _win_oy(plan, i, div=st), x0 // st)
+    gh = plan.bh // st
+    return grid[plan.ghalo : plan.ghalo + gh]
+
+
+def _solve_band_gains(plan: ShardedPlan, norms):
+    """BL07 pairwise gain solve from per-input band-interior norm grids;
+    the pair sums are psum'd across 'space' so every shard solves the
+    identical global system."""
+    sums = []
+    for p, (i, j) in enumerate(plan.pairs):
+        sums.append(jnp.sum(norms[i] * plan.gm_i[p]))
+        sums.append(jnp.sum(norms[j] * plan.gm_j[p]))
+    sums = jax.lax.psum(jnp.stack(sums), "space")
+    n = plan.num_inputs
+    I = jnp.zeros((n, n), dtype=jnp.float32)
+    for p, (i, j) in enumerate(plan.pairs):
+        cnt = float(plan.N[i][j])
+        I = I.at[i, j].set(sums[2 * p] / cnt)
+        I = I.at[j, i].set(sums[2 * p + 1] / cnt)
+    Nf = jnp.asarray(np.array(plan.N, dtype=np.float32))
+    off = 1.0 - jnp.eye(n, dtype=jnp.float32)
+    diag_dyn = jnp.sum(2.0 * ALPHA * I * I * Nf * off, axis=1)
+    A = (
+        plan.gain_A_static
+        + jnp.diag(diag_dyn)
+        - 2.0 * ALPHA * I * I.T * Nf * off
+    )
+    return jnp.linalg.solve(A, plan.gain_b)
+
+
+def _blend_windows(
+    plan, imgs, wins, weight_pyrs, inv_bw, feather_w, B, ext_v, W_v
+):
+    """Blend per-input window images into one [c, ext_v, W_v] band.
+
+    imgs: per input [c, hmax_i, iw_i]; wins: per input (x0, iw, hmax,
+    oy) in this plane's units (oy may be traced).  Per-input pyramids
+    run at window size and paste-add into band-level dst pyramids — the
+    aligned-ROI GPUStaticBlender geometry (blenders.cpp:594-640) on a
+    band."""
+    c = imgs[0].shape[0]
+    if plan.blend_kind == "feather":
+        band = jnp.zeros((c, ext_v, W_v), dtype=imgs[0].dtype)
+        for i, im in enumerate(imgs):
+            x0, iw, hmax, oy = wins[i]
+            band = _paste_add(band, im * feather_w[i][None], oy, x0)
+        return band
+    if plan.blend_kind == "multiband":
+        cdt = jnp.dtype(plan.compute_dtype)
+
+        def down(z):
+            _, hh, ww = z.shape
+            if hh in plan.down_mats and ww in plan.down_mats:
+                return pyr_down_mm(
+                    z, plan.down_mats[hh], plan.down_mats[ww]
+                ).astype(cdt)
+            from ..ops.pyramid import pyr_down
+
+            return pyr_down(z.astype(jnp.float32)).astype(cdt)
+
+        def up(z):
+            _, hh, ww = z.shape
+            if hh in plan.up_mats and ww in plan.up_mats:
+                return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww]).astype(
+                    cdt
+                )
+            from ..ops.pyramid import pyr_up
+
+            return pyr_up(z.astype(jnp.float32)).astype(cdt)
+
+        dst = [
+            jnp.zeros((c, ext_v >> l, W_v >> l), dtype=cdt)
+            for l in range(B + 1)
+        ]
+        for i, wd in enumerate(imgs):
+            x0, iw, hmax, oy = wins[i]
+            gauss = [wd]
+            for _ in range(B):
+                gauss.append(down(gauss[-1]))
+            for l in range(B + 1):
+                lap = gauss[l] - up(gauss[l + 1]) if l < B else gauss[B]
+                contrib = lap * weight_pyrs[l][i][None]
+                dst[l] = _paste_add(
+                    dst[l],
+                    contrib,
+                    oy >> l if isinstance(oy, int) else oy // (1 << l),
+                    x0 >> l,
+                )
+        for l in range(B + 1):
+            dst[l] = dst[l] * inv_bw[l][None]
+        band = dst[B]
+        for l in range(B - 1, -1, -1):
+            band = up(band) + dst[l]
+        return band
+    # blend_kind == "none": averaged paste
+    band = jnp.zeros((c, ext_v, W_v), dtype=jnp.float32)
+    total = jnp.zeros((1, ext_v, W_v), dtype=jnp.float32)
+    for i, im in enumerate(imgs):
+        x0, iw, hmax, oy = wins[i]
+        band = _paste_add(band, im.astype(jnp.float32), oy, x0)
+        total = _paste_add(
+            total, (im != 0).any(axis=0)[None].astype(jnp.float32), oy, x0
+        )
+    return band / jnp.maximum(total, 1.0)
+
+
+def _overlay_interior(plan, ov_window, k, halo_v, bh_v, ext_v, W_v, div=1):
+    """Overlay k's window pasted onto a zero band, interior rows."""
+    x0, iw, hmax = plan.rois[plan.num_inputs + k]
+    c = ov_window.shape[0]
+    buf = jnp.zeros((c, ext_v, W_v), dtype=ov_window.dtype)
+    buf = _paste_add(
+        buf, ov_window, _win_oy(plan, plan.num_inputs + k, div=div), x0 // div
+    )
+    return buf[:, halo_v : halo_v + bh_v]
 
 
 def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
@@ -728,44 +960,22 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
             interpret=interpret,
             out_dtype=remap_dtype,
         )
-    )  # per input [3, ext, Wp]
+    )  # per input [3, hmax_i, iw_i] (window-sized)
 
     # exposure gains: working-grid box means (identical global block
-    # grid to the single-chip Mapper: band rows start at s*bh, a stride
-    # multiple), psum'd across 'space'
+    # grid to the single-chip Mapper), psum'd across 'space'
     gains = jnp.ones((ncam,), dtype=jnp.float32)
     if plan.gm_i is not None and plan.pairs:
-        from ..stitch.mapper import _pool_pow2
-
-        st = plan.stride
-        norms = []
-        for i in range(ncam):
-            wimg = _pool_pow2(
-                warped[i][:, halo : halo + bh].astype(jnp.float32),
-                st,
-                col_mat=plan.pool_cols,
+        norms = [
+            _window_norm_grid(
+                plan,
+                warped[i],
+                i,
+                lambda x: jnp.sqrt(jnp.sum(x * x, axis=0)),
             )
-            norms.append(jnp.sqrt(jnp.sum(wimg * wimg, axis=0)))
-        sums = []
-        for p, (i, j) in enumerate(plan.pairs):
-            sums.append(jnp.sum(norms[i] * plan.gm_i[p]))
-            sums.append(jnp.sum(norms[j] * plan.gm_j[p]))
-        sums = jax.lax.psum(jnp.stack(sums), "space")
-        n = ncam
-        I = jnp.zeros((n, n), dtype=jnp.float32)
-        for p, (i, j) in enumerate(plan.pairs):
-            cnt = float(plan.N[i][j])
-            I = I.at[i, j].set(sums[2 * p] / cnt)
-            I = I.at[j, i].set(sums[2 * p + 1] / cnt)
-        Nf = jnp.asarray(np.array(plan.N, dtype=np.float32))
-        off = 1.0 - jnp.eye(n, dtype=jnp.float32)
-        diag_dyn = jnp.sum(2.0 * ALPHA * I * I * Nf * off, axis=1)
-        A = (
-            plan.gain_A_static
-            + jnp.diag(diag_dyn)
-            - 2.0 * ALPHA * I * I.T * Nf * off
-        )
-        gains = jnp.linalg.solve(A, plan.gain_b)
+            for i in range(ncam)
+        ]
+        gains = _solve_band_gains(plan, norms)
         # cast the scalar, not the image: f32*bf16 would promote the
         # whole warped image back to f32
         warped[:ncam] = [
@@ -773,62 +983,34 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
             for i, wd in enumerate(warped[:ncam])
         ]
 
-    blend_imgs = warped[:ncam]
-    if plan.blend_kind == "feather":
-        band = sum(
-            wd * plan.feather_w[i][None] for i, wd in enumerate(blend_imgs)
-        )
-    elif plan.blend_kind == "multiband":
-        B = plan.num_bands
-        cdt = jnp.dtype(plan.compute_dtype)
-
-        def down(z):
-            _, hh, ww = z.shape
-            if hh in plan.down_mats and ww in plan.down_mats:
-                return pyr_down_mm(
-                    z, plan.down_mats[hh], plan.down_mats[ww]
-                ).astype(cdt)
-            from ..ops.pyramid import pyr_down
-
-            return pyr_down(z.astype(jnp.float32)).astype(cdt)
-
-        def up(z):
-            _, hh, ww = z.shape
-            if hh in plan.up_mats and ww in plan.up_mats:
-                return pyr_up_mm(z, plan.up_mats[hh], plan.up_mats[ww]).astype(
-                    cdt
-                )
-            from ..ops.pyramid import pyr_up
-
-            return pyr_up(z.astype(jnp.float32)).astype(cdt)
-
-        dst = [
-            jnp.zeros((3, ext >> l, Wp >> l), dtype=cdt)
-            for l in range(B + 1)
-        ]
-        for i, wd in enumerate(blend_imgs):
-            gauss = [wd]
-            for _ in range(B):
-                gauss.append(down(gauss[-1]))
-            for l in range(B + 1):
-                lap = gauss[l] - up(gauss[l + 1]) if l < B else gauss[B]
-                dst[l] = dst[l] + lap * plan.weight_pyrs[l][i][None]
-        for l in range(B + 1):
-            dst[l] = dst[l] * plan.inv_band_weights[l][None]
-        band = dst[B]
-        for l in range(B - 1, -1, -1):
-            band = up(band) + dst[l]
-    else:
-        total = sum(
-            (wd != 0).any(axis=0).astype(jnp.float32) for wd in blend_imgs
-        )
-        band = sum(blend_imgs) / jnp.maximum(total, 1.0)
+    wins = [
+        plan.rois[i] + (_win_oy(plan, i),) for i in range(ncam)
+    ]
+    band = _blend_windows(
+        plan,
+        warped[:ncam],
+        wins,
+        plan.weight_pyrs,
+        plan.inv_band_weights,
+        plan.feather_w,
+        plan.num_bands,
+        ext,
+        Wp,
+    )
 
     interior = band[:, halo : halo + bh].astype(jnp.float32)
 
     # overlay paste (mapper.cpp:279-282 semantics)
     for k in range(plan.num_overlays):
-        ov = warped[ncam + k][:, halo : halo + bh]
+        ov = _overlay_interior(
+            plan,
+            warped[ncam + k].astype(jnp.float32),
+            k,
+            halo,
+            bh,
+            ext,
+            Wp,
+        )
         m = plan.overlay_masks[k][None]
         interior = interior * (1.0 - m) + ov * m
 
@@ -841,8 +1023,8 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
 def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
     """YUV420-native band stitch (see stitch/yuv_mode.py): pair-packed
     1-channel Y fan at full band resolution + 2-channel chroma fan at
-    half resolution, per-plane blends, centered chroma, packed YUV420P
-    band output."""
+    half resolution, per-plane window blends, centered chroma, packed
+    YUV420P band output."""
     assert out_format == "yuv420p"
     ncam = plan.num_inputs
     ntotal = ncam + plan.num_overlays
@@ -875,7 +1057,7 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
             nc=1,
             paired=True,
         )
-    )  # per input [1, ext, Wp]
+    )  # per input [1, hmax_i, iw_i] (window-sized)
     warped_uv = list(
         pallas_remap_apply_batched(
             jnp.stack(packs_uv),
@@ -885,47 +1067,23 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
             nc=2,
             paired=True,
         )
-    )  # per input [2, ext/2, Wp/2]
+    )  # per input [2, hmax_i/2, iw_i/2]
     # centered chroma: covered pixels carry (U-128, V-128); uncovered
     # stay 0 and become neutral 128 at the output stage
     warped_uv = [w - jnp.asarray(128.0, w.dtype) for w in warped_uv]
 
     gains = jnp.ones((ncam,), dtype=jnp.float32)
     if plan.gm_i is not None and plan.pairs:
-        from ..stitch.mapper import _pool_pow2
-
-        st = plan.stride
-        norms = []
-        for i in range(ncam):
-            wimg = _pool_pow2(
-                warped_y[i][:, halo : halo + bh].astype(jnp.float32),
-                st,
-                col_mat=plan.pool_cols,
+        # sqrt(3)*Y approximates the reference's RGB L2 norm for gray
+        # pixels, keeping gain magnitudes comparable under the beta
+        # prior
+        norms = [
+            _window_norm_grid(
+                plan, warped_y[i], i, lambda x: math.sqrt(3.0) * x[0]
             )
-            # sqrt(3)*Y approximates the reference's RGB L2 norm for
-            # gray pixels, keeping gain magnitudes comparable under the
-            # beta prior
-            norms.append(math.sqrt(3.0) * wimg[0])
-        sums = []
-        for p, (i, j) in enumerate(plan.pairs):
-            sums.append(jnp.sum(norms[i] * plan.gm_i[p]))
-            sums.append(jnp.sum(norms[j] * plan.gm_j[p]))
-        sums = jax.lax.psum(jnp.stack(sums), "space")
-        n = ncam
-        I = jnp.zeros((n, n), dtype=jnp.float32)
-        for p, (i, j) in enumerate(plan.pairs):
-            cnt = float(plan.N[i][j])
-            I = I.at[i, j].set(sums[2 * p] / cnt)
-            I = I.at[j, i].set(sums[2 * p + 1] / cnt)
-        Nf = jnp.asarray(np.array(plan.N, dtype=np.float32))
-        off = 1.0 - jnp.eye(n, dtype=jnp.float32)
-        diag_dyn = jnp.sum(2.0 * ALPHA * I * I * Nf * off, axis=1)
-        A = (
-            plan.gain_A_static
-            + jnp.diag(diag_dyn)
-            - 2.0 * ALPHA * I * I.T * Nf * off
-        )
-        gains = jnp.linalg.solve(A, plan.gain_b)
+            for i in range(ncam)
+        ]
+        gains = _solve_band_gains(plan, norms)
         warped_y[:ncam] = [
             w * gains[i].astype(w.dtype)
             for i, w in enumerate(warped_y[:ncam])
@@ -935,76 +1093,38 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
             for i, w in enumerate(warped_uv[:ncam])
         ]
 
-    def blend_plane(imgs, wpyrs, inv_bw, feather_w, B, e, w, h_halo):
-        cdt = jnp.dtype(plan.compute_dtype)
-        if plan.blend_kind == "feather":
-            return sum(
-                im * feather_w[i][None] for i, im in enumerate(imgs)
-            )
-        if plan.blend_kind == "multiband":
-
-            def down(z):
-                _, hh, ww = z.shape
-                if hh in plan.down_mats and ww in plan.down_mats:
-                    return pyr_down_mm(
-                        z, plan.down_mats[hh], plan.down_mats[ww]
-                    ).astype(cdt)
-                from ..ops.pyramid import pyr_down
-
-                return pyr_down(z.astype(jnp.float32)).astype(cdt)
-
-            def up(z):
-                _, hh, ww = z.shape
-                if hh in plan.up_mats and ww in plan.up_mats:
-                    return pyr_up_mm(
-                        z, plan.up_mats[hh], plan.up_mats[ww]
-                    ).astype(cdt)
-                from ..ops.pyramid import pyr_up
-
-                return pyr_up(z.astype(jnp.float32)).astype(cdt)
-
-            c = imgs[0].shape[0]
-            dst = [
-                jnp.zeros((c, e >> l, w >> l), dtype=cdt)
-                for l in range(B + 1)
-            ]
-            for i, wd in enumerate(imgs):
-                gauss = [wd]
-                for _ in range(B):
-                    gauss.append(down(gauss[-1]))
-                for l in range(B + 1):
-                    lap = gauss[l] - up(gauss[l + 1]) if l < B else gauss[B]
-                    dst[l] = dst[l] + lap * wpyrs[l][i][None]
-            for l in range(B + 1):
-                dst[l] = dst[l] * inv_bw[l][None]
-            band = dst[B]
-            for l in range(B - 1, -1, -1):
-                band = up(band) + dst[l]
-            return band
-        total = sum(
-            (im != 0).any(axis=0).astype(jnp.float32) for im in imgs
+    wins = [plan.rois[i] + (_win_oy(plan, i),) for i in range(ncam)]
+    wins_uv = [
+        (
+            plan.rois[i][0] // 2,
+            plan.rois[i][1] // 2,
+            plan.rois[i][2] // 2,
+            _win_oy(plan, i, div=2),
         )
-        return sum(imgs) / jnp.maximum(total, 1.0)
+        for i in range(ncam)
+    ]
 
-    band_y = blend_plane(
+    band_y = _blend_windows(
+        plan,
         warped_y[:ncam],
+        wins,
         plan.weight_pyrs,
         plan.inv_band_weights,
         plan.feather_w,
         plan.num_bands,
         ext,
         Wp,
-        halo,
     )
-    band_uv = blend_plane(
+    band_uv = _blend_windows(
+        plan,
         warped_uv[:ncam],
+        wins_uv,
         plan.weight_pyrs_uv,
         plan.inv_band_weights_uv,
         plan.feather_w_uv,
         plan.num_bands_uv,
         ext // 2,
         Wp2,
-        halo2,
     )
 
     int_y = band_y[:, halo : halo + bh].astype(jnp.float32)
@@ -1012,11 +1132,15 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
 
     # overlay paste (mapper.cpp:279-282 semantics), Y and centered UV
     for k in range(plan.num_overlays):
-        ovy = warped_y[ncam + k][:, halo : halo + bh].astype(jnp.float32)
+        ovy = _overlay_interior(
+            plan, warped_y[ncam + k].astype(jnp.float32), k, halo, bh,
+            ext, Wp,
+        )
         m = plan.overlay_masks[k][None]
         int_y = int_y * (1.0 - m) + ovy * m
-        ovuv = warped_uv[ncam + k][:, halo2 : halo2 + bh2].astype(
-            jnp.float32
+        ovuv = _overlay_interior(
+            plan, warped_uv[ncam + k].astype(jnp.float32), k, halo2, bh2,
+            ext // 2, Wp2, div=2,
         )
         m2 = plan.overlay_masks_uv[k][None]
         int_uv = int_uv * (1.0 - m2) + ovuv * m2
