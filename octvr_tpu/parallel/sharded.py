@@ -1169,9 +1169,23 @@ class ShardedMapper:
         enable_gain: bool = True,
         out_format: str = "yuv420p",
         blend_dtype: str = "float32",
-        pipeline: str = "rgb",
+        pipeline: str = None,
     ):
         assert out_format in ("yuv420p", "rgb")
+        if pipeline is None:
+            # production default: the YUV420-native paired-fan pipeline
+            # whenever the output format and geometry allow it (VERDICT
+            # r2 item 2); rgb output or odd camera sizes fall back
+            even = all(h % 2 == 0 and w % 2 == 0 for h, w in in_sizes)
+            W0, H0 = mt.out_size
+            pipeline = (
+                "yuv420"
+                if out_format == "yuv420p"
+                and even
+                and W0 % 2 == 0
+                and H0 % 2 == 0
+                else "rgb"
+            )
         assert pipeline == "rgb" or out_format == "yuv420p"
         self.mesh = mesh
         self.out_format = out_format

@@ -6,6 +6,7 @@ from .estimators import (
     leave_biggest_component,
     max_spanning_tree,
 )
+from .blobs import detect_and_describe_blobs
 from .features import ImageFeatures, detect_and_describe, rgb_to_gray
 from .matchers import MatchesInfo, find_homography_ransac, match_images, match_pair
 from .stitcher import RegistrationResult, cameras_to_rig, register_images
@@ -22,6 +23,7 @@ __all__ = [
     "max_spanning_tree",
     "ImageFeatures",
     "detect_and_describe",
+    "detect_and_describe_blobs",
     "rgb_to_gray",
     "MatchesInfo",
     "find_homography_ransac",

@@ -50,6 +50,7 @@ def register_images(
     seed=0,
     levels=1,
     range_width=None,
+    finder="fast",
 ):
     """images: list of [H, W, 3] uint8/float RGB arrays (equal or varying
     sizes).  Returns RegistrationResult with refined CameraParams (focals
@@ -58,9 +59,16 @@ def register_images(
     ``levels`` > 1 enables the multi-scale detector (SURF-octave /
     ORB-pyramid role, matchers.cpp:365-460) — needed when the rig mixes
     very different focal lengths.  ``range_width`` restricts matching to
-    ordered neighbors (BestOf2NearestRangeMatcher, matchers.cpp:667-695)."""
+    ordered neighbors (BestOf2NearestRangeMatcher, matchers.cpp:667-695).
+    ``finder``: "fast" (FAST-9 + rBRIEF, the ORB role) or "blob" (the
+    multi-scale determinant-of-Hessian detector with a SURF-style float
+    descriptor, registration/blobs.py — the SurfFeaturesFinder role,
+    matchers.cpp:365-389, for low-texture rigs where corners are
+    sparse)."""
+    from .blobs import detect_and_describe_blobs
     from .features import detect_and_describe_pyramid
 
+    assert finder in ("fast", "blob")
     feats = []
     work_scales = []
     for img in images:
@@ -71,7 +79,13 @@ def register_images(
         work_scales.append(scale)
         small = resize_bilinear(img, sh, sw)
         gray = np.asarray(rgb_to_gray(jnp.asarray(small)))
-        if levels > 1:
+        if finder == "blob":
+            feats.append(
+                detect_and_describe_blobs(
+                    jnp.asarray(gray), max_features=max_features
+                )
+            )
+        elif levels > 1:
             feats.append(
                 detect_and_describe_pyramid(
                     gray, max_features=max_features, levels=levels

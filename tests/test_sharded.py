@@ -41,7 +41,11 @@ def test_sharded_matches_single_chip(setup, blend):
     single = Mapper(mt, sizes, blend=blend, enable_gain=True)
     out_s, gains_s = single.stitch(frames)
 
-    sharded = ShardedMapper(mt, sizes, mesh, blend=blend, enable_gain=True)
+    # pipeline="rgb" explicitly: this test is rgb-vs-rgb parity (the
+    # yuv420 default is covered by test_sharded_yuv420_pipeline)
+    sharded = ShardedMapper(
+        mt, sizes, mesh, blend=blend, enable_gain=True, pipeline="rgb"
+    )
     batch = np.stack([np.stack(frames)] * 2)
     out_m, gains_m = sharded.stitch_batch(batch)
     out_m = np.asarray(out_m)
@@ -107,9 +111,17 @@ def test_sharded_bf16_blend(setup):
     mesh = make_mesh(1, 4)
     batch = np.stack([np.stack(frames)])
 
-    f32 = ShardedMapper(mt, sizes, mesh, blend=8, enable_gain=True)
+    f32 = ShardedMapper(
+        mt, sizes, mesh, blend=8, enable_gain=True, pipeline="rgb"
+    )
     b16 = ShardedMapper(
-        mt, sizes, mesh, blend=8, enable_gain=True, blend_dtype="bfloat16"
+        mt,
+        sizes,
+        mesh,
+        blend=8,
+        enable_gain=True,
+        blend_dtype="bfloat16",
+        pipeline="rgb",
     )
     y32 = f32.assemble_yuv(np.asarray(f32.stitch_batch(batch)[0])[0])
     y16 = b16.assemble_yuv(np.asarray(b16.stitch_batch(batch)[0])[0])
@@ -117,11 +129,24 @@ def test_sharded_bf16_blend(setup):
     assert err.mean() < 1.0, err.mean()
 
     single = make_mesh(1, 1)
-    sm1 = ShardedMapper(mt, sizes, single, blend=8, enable_gain=True)
+    sm1 = ShardedMapper(
+        mt, sizes, single, blend=8, enable_gain=True, pipeline="rgb"
+    )
     assert sm1.plan.halo == 0  # no neighbor bands at S=1
     y1 = sm1.assemble_yuv(np.asarray(sm1.stitch_batch(batch)[0])[0])
     err1 = np.abs(y1.astype(np.float32) - y32.astype(np.float32))
     assert err1.mean() < 1.0, err1.mean()
+
+
+def test_sharded_default_pipeline_is_yuv420(setup):
+    """VERDICT r2 item 2: the production yuv420 paired-fan pipeline is
+    the sharded default whenever output format and geometry allow."""
+    rig, mt, sizes, frames = setup
+    sm = ShardedMapper(mt, sizes, make_mesh(1, 2), blend=8)
+    assert sm.plan.pipeline == "yuv420"
+    sm_rgb = ShardedMapper(mt, sizes, make_mesh(1, 2), blend=8,
+                           out_format="rgb")
+    assert sm_rgb.plan.pipeline == "rgb"
 
 
 def test_sharded_yuv420_pipeline(setup):
