@@ -111,6 +111,79 @@ def parity_smoke():
     print("# parity smoke: pallas==xla on TPU, max err < 1e-3", file=sys.stderr)
 
 
+def default_path_regression():
+    """Real-TPU regression test of the LIBRARY DEFAULTS (VERDICT r2
+    item 4): pipeline="auto" -> yuv420 and blend_dtype=None -> bfloat16
+    on TPU must match the rgb/float32 path on a small rig.  Runs before
+    the 4K bench every driver round, so a regression in the default
+    path fails loudly here."""
+    import jax
+    import math as _m
+
+    import numpy as np
+
+    from octvr_tpu.stitch import Mapper
+    from octvr_tpu.template import compile_rig
+
+    if jax.default_backend() != "tpu":
+        print("# default-path regression: skipped (not on TPU)", file=sys.stderr)
+        return
+    lens = {
+        "width": 512,
+        "height": 512,
+        "hfov": _m.pi * 1.15,
+        "center_dx": 0.0,
+        "center_dy": 0.0,
+        "radial": [0.0, 0.0, 0.0],
+    }
+    rig = {
+        "output": {"type": "equirectangular", "options": {}},
+        "inputs": [
+            {"type": "fullframe_fisheye", "options": dict(lens)},
+            {
+                "type": "fullframe_fisheye",
+                "options": {
+                    **lens,
+                    "rotation": {"roll": 0.0, "yaw": _m.pi, "pitch": 0.0},
+                },
+            },
+        ],
+    }
+    mt = compile_rig(rig, 256, 128)
+    mt.create_masks()
+    sizes = [(512, 512)] * 2
+    m_def = Mapper(mt, sizes, blend=16)  # library defaults
+    assert m_def.plan.pipeline == "yuv420", m_def.plan.pipeline
+    assert m_def.plan.blender.compute_dtype == "bfloat16"
+    m_ref = Mapper(
+        mt, sizes, blend=16, pipeline="rgb", blend_dtype="float32"
+    )
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 255, (512 * 3 // 2, 512), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    out_d, g_d = m_def.stitch(frames)
+    out_r, g_r = m_ref.stitch(frames)
+    h = 128
+    y_err = np.abs(
+        np.asarray(out_d)[:h].astype(np.float32)
+        - np.asarray(out_r)[:h].astype(np.float32)
+    )
+    if y_err.mean() >= 1.5:
+        raise AssertionError(
+            f"default-path regression: Y mean err {y_err.mean():.3f}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_d), np.asarray(g_r), rtol=0.05, atol=0.01
+    )
+    print(
+        f"# default-path regression: yuv420+bf16 == rgb+f32 "
+        f"(Y mean err {y_err.mean():.3f}/255)",
+        file=sys.stderr,
+    )
+
+
 def main():
     import os
 
@@ -130,6 +203,7 @@ def main():
     from octvr_tpu.template import compile_rig
 
     parity_smoke()
+    default_path_regression()
 
     t0 = time.time()
     rig = six_cam_rig()
@@ -139,15 +213,16 @@ def main():
 
     sizes = [(CAM, CAM)] * 6
     t0 = time.time()
-    # bf16 pyramids are the 16-bit analogue of the reference's CV_16S
-    # GPU blend (blenders.cpp:594-736); the Pallas kernel emits bf16
-    # tiles directly so no XLA convert ever fuses into the untile
-    # product (the round-1 fault).  The yuv420 pipeline (full-res
-    # 1-channel Y fan + half-res 2-channel chroma fan, the reference
-    # FastMapper's half-res chroma approach) is the fast path; both
-    # knobs are env-overridable.  Library defaults stay float32/rgb.
-    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE", "bfloat16")
-    pipeline = os.environ.get("OCTVR_PIPELINE", "yuv420")
+    # Library defaults ARE the bench config since round 3: on TPU,
+    # pipeline="auto" resolves to yuv420 (full-res 1-channel Y fan +
+    # half-res 2-channel chroma fan, the reference FastMapper's
+    # half-res chroma approach) and blend_dtype=None to bfloat16 (the
+    # 16-bit analogue of the reference's CV_16S GPU blend,
+    # blenders.cpp:594-736; the Pallas kernel emits bf16 tiles directly
+    # so no XLA convert ever fuses into the untile product — the
+    # round-1 fault).  Env overrides remain for experiments.
+    blend_dtype = os.environ.get("OCTVR_BLEND_DTYPE") or None
+    pipeline = os.environ.get("OCTVR_PIPELINE", "auto")
     mapper = Mapper(
         mt,
         sizes,
@@ -156,7 +231,12 @@ def main():
         blend_dtype=blend_dtype,
         pipeline=pipeline,
     )
-    print(f"# plan built in {time.time()-t0:.1f}s", file=sys.stderr)
+    print(
+        f"# plan built in {time.time()-t0:.1f}s "
+        f"(pipeline={mapper.plan.pipeline}, "
+        f"blend_dtype={mapper.plan.blender.compute_dtype})",
+        file=sys.stderr,
+    )
 
     rng = np.random.default_rng(0)
     base = [

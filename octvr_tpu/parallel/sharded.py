@@ -124,6 +124,7 @@ class ShardedPlan:
     chroma_up: object = None  # [Wf/2, Wf] f32 MXU chroma upsample
     chroma_down: object = None  # [Wp, Wp/2] f32 MXU chroma subsample
     pool_cols_roi: object = None  # dict {iw: [iw, iw/stride]} MXU pool
+    pool_cols_roi_uv: object = None  # dict {iw/2: [iw/2, iw/stride]}
     down_mats: dict = field(default_factory=dict)  # {n: [n/2, n]}
     up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
 
@@ -151,6 +152,7 @@ register_plan(
         "chroma_up",
         "chroma_down",
         "pool_cols_roi",
+        "pool_cols_roi_uv",
         "down_mats",
         "up_mats",
     ),
@@ -763,6 +765,11 @@ def build_sharded_plan(
             iw: _pool_cols_matrix(iw, stride)
             for (x0, iw, hmax) in set(rois[:ncam])
         }
+        if pipeline == "yuv420" and stride > 2:
+            plan.pool_cols_roi_uv = {
+                iw // 2: _pool_cols_matrix(iw // 2, stride // 2)
+                for (x0, iw, hmax) in set(rois[:ncam])
+            }
 
     return plan
 
@@ -811,6 +818,42 @@ def _window_norm_grid(plan: ShardedPlan, wimg, i, reduce_fn):
         x, st, col_mat=(plan.pool_cols_roi[iw] if st > 1 else None)
     )
     nrm = reduce_fn(x)  # [hmax/st, iw/st]
+    grid = jnp.zeros((plan.ext // st, plan.Wp // st), jnp.float32)
+    grid = _paste_add(grid, nrm, _win_oy(plan, i, div=st), x0 // st)
+    gh = plan.bh // st
+    return grid[plan.ghalo : plan.ghalo + gh]
+
+
+def _window_norm_grid_yuv(plan: ShardedPlan, wy, wuv, i):
+    """Exact elementNorm working grid for the yuv420 band path: pooled
+    luma + pooled centered chroma -> RGB L2 norm (yuv_mode.yuv_rgb_norm),
+    pasted into the band-interior grid.  Window offsets are ralign>=4
+    aligned, so the chroma window (at /2 geometry) pools onto the SAME
+    canvas-aligned working grid as the luma window."""
+    from ..stitch.mapper import _pool_pow2
+    from ..stitch.yuv_mode import yuv_rgb_norm
+
+    x0, iw, hmax = plan.rois[i]
+    st = plan.stride
+    y = _pool_pow2(
+        wy.astype(jnp.float32),
+        st,
+        col_mat=(plan.pool_cols_roi[iw] if st > 1 else None),
+    )
+    uvf = wuv.astype(jnp.float32)
+    if st >= 2:
+        uv = _pool_pow2(
+            uvf,
+            st // 2,
+            col_mat=(
+                plan.pool_cols_roi_uv[iw // 2] if st > 2 else None
+            ),
+        )
+    else:  # stride 1: nearest 2x chroma upsample onto the luma grid
+        uv = jnp.repeat(jnp.repeat(uvf, 2, axis=1), 2, axis=2)[
+            :, :hmax, :iw
+        ]
+    nrm = yuv_rgb_norm(y[0], uv[0], uv[1])
     grid = jnp.zeros((plan.ext // st, plan.Wp // st), jnp.float32)
     grid = _paste_add(grid, nrm, _win_oy(plan, i, div=st), x0 // st)
     gh = plan.bh // st
@@ -1074,13 +1117,10 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
 
     gains = jnp.ones((ncam,), dtype=jnp.float32)
     if plan.gm_i is not None and plan.pairs:
-        # sqrt(3)*Y approximates the reference's RGB L2 norm for gray
-        # pixels, keeping gain magnitudes comparable under the beta
-        # prior
+        # exact elementNorm (gpu_mat.cu:444-485): RGB L2 norm from
+        # pooled luma + pooled centered chroma on the working grid
         norms = [
-            _window_norm_grid(
-                plan, warped_y[i], i, lambda x: math.sqrt(3.0) * x[0]
-            )
+            _window_norm_grid_yuv(plan, warped_y[i], warped_uv[i], i)
             for i in range(ncam)
         ]
         gains = _solve_band_gains(plan, norms)

@@ -19,7 +19,13 @@ import numpy as np
 from ..utils.pytree import register_plan
 from .gain import ALPHA, BETA
 
-__all__ = ["BlocksGainPlan", "build_blocks_gain_plan", "solve_block_gains"]
+__all__ = [
+    "BlocksGainPlan",
+    "build_blocks_gain_plan",
+    "solve_block_gains",
+    "solve_block_lattice",
+    "sample_block_lattice",
+]
 
 
 @dataclass
@@ -99,6 +105,16 @@ def solve_block_gains(plan: BlocksGainPlan, norm_images, out_rois=None, scale=1.
     norms (roi frame).  Returns per-image gain maps from bilinearly
     upsampled block gains; ``out_rois``/``scale`` sample the lattice at
     full-resolution rois (full-res px * scale = working px)."""
+    lattice = solve_block_lattice(plan, norm_images)
+    rois_out = plan.rois if out_rois is None else out_rois
+    return sample_block_lattice(plan, lattice, rois_out, scale)
+
+
+def solve_block_lattice(plan: BlocksGainPlan, norm_images):
+    """Assemble and solve the per-block pairwise systems; returns the
+    gain lattice [nby, nbx, n].  Split from the sampling step so one
+    solve can feed multiple sample grids (e.g. the yuv420 pipeline's
+    luma and half-resolution chroma planes)."""
     n = plan.num_images
     Hc, Wc = plan.canvas
     block, nby, nbx = plan.block, plan.nby, plan.nbx
@@ -130,10 +146,14 @@ def solve_block_gains(plan: BlocksGainPlan, norm_images, out_rois=None, scale=1.
         2.0 * ALPHA * I * jnp.swapaxes(I, 1, 2) * Nf * off
     )
     gains = jnp.linalg.solve(A, jnp.asarray(plan.b)[..., None])[..., 0]  # [B, n]
-    lattice = gains.reshape(nby, nbx, n)
+    return gains.reshape(nby, nbx, n)
 
-    # bilinear upsample of the block lattice to per-pixel maps
-    rois_out = plan.rois if out_rois is None else out_rois
+
+def sample_block_lattice(plan: BlocksGainPlan, lattice, rois_out, scale=1.0):
+    """Bilinear upsample of the block gain lattice to per-pixel maps at
+    the given rois; ``scale`` converts roi pixels to working-scale
+    pixels (roi px * scale = working px)."""
+    block, nby, nbx = plan.block, plan.nby, plan.nbx
     maps = []
     for i, (x, y, w, h) in enumerate(rois_out):
         ys = ((jnp.arange(y, y + h) + 0.5) * scale) / block - 0.5

@@ -47,7 +47,12 @@ from .blenders import (
     multiband_blend,
 )
 from .gain import build_gain_plan, solve_gains
-from .gain_blocks import build_blocks_gain_plan, solve_block_gains
+from .gain_blocks import (
+    build_blocks_gain_plan,
+    sample_block_lattice,
+    solve_block_gains,
+    solve_block_lattice,
+)
 
 WORKING_MEGAPIX = 0.1  # mapper.cpp:43
 
@@ -97,13 +102,21 @@ class _InputPlan:
     vig_half: object = None  # f32 [H_in/2, W_in/2] chroma-grid vignette
     roi_uv: tuple = None  # chroma-grid roi
     mask_half: object = None  # u8 chroma-grid mask (overlay paste)
+    # chroma sampling onto the SAME working grid as the luma pool (for
+    # the exact RGB-norm gain solve, yuv_mode.yuv_rgb_norm):
+    # stride>=2 pools the chroma plane at stride/2 (canvas-aligned);
+    # stride==1 gathers nearest chroma rows/cols
+    work_sub_uv: tuple = None  # (oy, ox, stride/2, wh, ww) or None
+    pool_cols_uv: object = None  # [ww*su, ww] box-mean matrix
+    uv_rows: object = None  # i32 [wh] chroma row gather (stride==1)
+    uv_cols: object = None  # i32 [ww] chroma col gather (stride==1)
 
 
 register_plan(
     _InputPlan,
     children=("remap", "vignette", "mask", "pool_cols", "vig_half",
-              "mask_half"),
-    static=("roi", "work_sub", "work_roi", "roi_uv"),
+              "mask_half", "pool_cols_uv", "uv_rows", "uv_cols"),
+    static=("roi", "work_sub", "work_roi", "roi_uv", "work_sub_uv"),
 )
 
 
@@ -120,6 +133,12 @@ class StitchPlan:
     batched_remap: object = None  # BatchedRemapPlan when all sizes equal
     remap_uv: object = None  # half-res chroma plan (yuv420 pipeline)
     blender_uv: object = None  # half-res blend plan (yuv420 pipeline)
+    # yuv420 with mixed camera sizes: one batched kernel per size group
+    # (the reference Mapper handles per-input sizes uniformly,
+    # mapper.cpp:47-191; equal-size cameras share one Mosaic compile)
+    remap_y_groups: tuple = ()  # per-group batched full-res Y plans
+    remap_uv_groups: tuple = ()  # per-group batched half-res UV plans
+    group_idx: tuple = ()  # static per-group input indices
     chroma_up: dict = field(default_factory=dict)  # width -> MXU upsample
     chroma_down: object = None  # [W, W/2] MXU chroma subsample (output)
     working_scale: float = 1.0
@@ -139,6 +158,8 @@ register_plan(
         "blender_uv",
         "chroma_up",
         "chroma_down",
+        "remap_y_groups",
+        "remap_uv_groups",
     ),
     static=(
         "canvas_size",
@@ -146,6 +167,7 @@ register_plan(
         "blend_kind",
         "working_scale",
         "pipeline",
+        "group_idx",
     ),
 )
 
@@ -154,12 +176,18 @@ class Mapper:
     """blend: >0 multiband blend width, 0 none, <0 feather border
     (mapper.hpp:69-71).  enable_gain: False, True (global pairwise
     gains), or "blocks" (BlocksGainCompensator-style per-block gain
-    maps).  blend_dtype: multiband pyramid precision -- "float32"
-    (default) or "bfloat16", the 16-bit analogue of the reference's
-    CV_16S GPU pyramids (stitching/src/blenders.cpp:594-736).  bf16
-    agrees within <1/255 mean but is opt-in: fusing the bf16 convert
-    into the 4K remap/untile producer graph faulted the TPU kernel in
-    round 1 (BENCH_r01.json), so it stays gated until proven stable."""
+    maps).  blend_dtype: multiband pyramid precision -- "float32",
+    "bfloat16" (the 16-bit analogue of the reference's CV_16S GPU
+    pyramids, stitching/src/blenders.cpp:594-736), or None (default):
+    bfloat16 on TPU, float32 elsewhere.  pipeline: "rgb", "yuv420"
+    (the YUV420-native fast path, stitch/yuv_mode.py), or "auto"
+    (default): yuv420 on TPU whenever the geometry is even (YUV 4:2:0
+    is inherently even), rgb otherwise.  The TPU defaults are the
+    production path the driver bench ships; parity on real hardware is
+    enforced by bench.py::default_path_regression, which runs at the
+    start of every driver bench round and fails the bench loudly if the
+    yuv420+bf16 defaults drift from the rgb+f32 reference path (CPU
+    parity: tests/test_yuv420_product.py, tests/test_stitch.py)."""
 
     def __init__(
         self,
@@ -170,38 +198,48 @@ class Mapper:
         scale_output=None,
         use_pallas: bool = True,
         frame_format: str = "yuv420p",
-        blend_dtype: str = "float32",
-        pipeline: str = "rgb",
+        blend_dtype: str = None,
+        pipeline: str = "auto",
     ):
         assert frame_format in ("yuv420p", "nv12")
-        assert pipeline in ("rgb", "yuv420")
+        assert pipeline in ("auto", "rgb", "yuv420")
+        on_tpu = jax.default_backend() == "tpu"
+        if blend_dtype is None:
+            blend_dtype = "bfloat16" if on_tpu else "float32"
         self.frame_format = frame_format
         n = len(mt.inputs)
-        self._interpret = jax.default_backend() != "tpu"
-        self.use_pallas = use_pallas and not self._interpret
-        # equal-size inputs share ONE pallas kernel (one Mosaic compile)
-        self._batch_remap = (
-            self.use_pallas and len(set(map(tuple, in_sizes))) == 1
+        W, H = mt.out_size
+        out_size = tuple(scale_output) if scale_output else (W, H)
+        even = (
+            W % 2 == 0
+            and H % 2 == 0
+            and out_size[0] % 2 == 0
+            and out_size[1] % 2 == 0
+            and all(h % 2 == 0 and w % 2 == 0 for h, w in in_sizes)
         )
-        if pipeline == "yuv420":
-            # on CPU the batched kernel runs in interpret mode (tests)
-            self._batch_remap = len(set(map(tuple, in_sizes))) == 1
-            # YUV420-native path (see stitch/yuv_mode.py): needs the
-            # batched kernel, even geometry, and has no blocks-gain or
-            # output-scaling support yet
-            assert self._batch_remap, "yuv420 pipeline needs the batched TPU kernel"
-            assert scale_output is None
-            assert enable_gain in (False, True)
-            assert mt.out_size[0] % 2 == 0 and mt.out_size[1] % 2 == 0
-            assert all(h % 2 == 0 and w % 2 == 0 for h, w in in_sizes)
+        if pipeline == "auto":
+            pipeline = "yuv420" if (on_tpu and even) else "rgb"
+        self._interpret = not on_tpu
+        self.use_pallas = use_pallas and not self._interpret
+        self._yuv = pipeline == "yuv420"
+        # equal-size inputs share ONE pallas kernel (one Mosaic compile);
+        # the yuv420 path batches per size GROUP instead (see below)
+        self._batch_remap = (
+            self.use_pallas
+            and not self._yuv
+            and len(set(map(tuple, in_sizes))) == 1
+        )
+        if self._yuv:
+            # YUV420-native path (see stitch/yuv_mode.py): the 4:2:0
+            # layout needs even camera/canvas/output geometry
+            assert even, "yuv420 pipeline needs even frame geometry"
         if n == 1:
             blend = 0
             enable_gain = False
 
-        W, H = mt.out_size
         plan = StitchPlan(
             canvas_size=(W, H),
-            out_size=tuple(scale_output) if scale_output else (W, H),
+            out_size=out_size,
             pipeline=pipeline,
         )
 
@@ -220,8 +258,8 @@ class Mapper:
             is_overlay = idx >= n
             in_h, in_w = in_sizes[idx]
             rx, ry, rw, rh = inp.roi
-            if self._batch_remap:
-                rp = None  # served by the batched kernel
+            if self._batch_remap or self._yuv:
+                rp = None  # served by the batched (per-group) kernel
             elif self.use_pallas:
                 rp = pallas_remap_plan(inp.map1, inp.map2, in_h, in_w)
             else:
@@ -263,10 +301,35 @@ class Mapper:
             vig_half = None
             roi_uv = None
             mask_half = None
+            work_sub_uv = None
+            pool_cols_uv = None
+            uv_rows = uv_cols = None
             if pipeline == "yuv420":
                 from .yuv_mode import half_mask, half_roi
 
                 roi_uv = half_roi(inp.roi)
+                if work_sub is not None:
+                    # chroma onto the luma working grid (exact-norm gains)
+                    oy, ox, s, wh, ww = work_sub
+                    cx0, cy0 = roi_uv[0], roi_uv[1]
+                    if s >= 2:
+                        su = s // 2
+                        work_sub_uv = (
+                            (ry + oy) // 2 - cy0,
+                            (rx + ox) // 2 - cx0,
+                            su,
+                            wh,
+                            ww,
+                        )
+                        if su > 1:
+                            pool_cols_uv = _pool_cols_matrix(ww * su, su)
+                    else:
+                        uv_rows = (
+                            (ry + oy + np.arange(wh)) // 2 - cy0
+                        ).astype(np.int32)
+                        uv_cols = (
+                            (rx + ox + np.arange(ww)) // 2 - cx0
+                        ).astype(np.int32)
                 if vig is not None:
                     # chroma-grid vignette (2x2 mean of the luma-grid map)
                     vig_half = (
@@ -288,6 +351,10 @@ class Mapper:
                 vig_half=vig_half,
                 roi_uv=roi_uv,
                 mask_half=mask_half,
+                work_sub_uv=work_sub_uv,
+                pool_cols_uv=pool_cols_uv,
+                uv_rows=uv_rows,
+                uv_cols=uv_cols,
             )
             (plan.overlays if is_overlay else plan.inputs).append(ip)
 
@@ -312,7 +379,6 @@ class Mapper:
                 [(inp.map1, inp.map2) for inp in all_inputs],
                 in_sizes[0][0],
                 in_sizes[0][1],
-                paired=(pipeline == "yuv420"),
             )
 
         rois = [inp.roi for inp in mt.inputs]
@@ -333,12 +399,39 @@ class Mapper:
 
             all_inputs = mt.inputs + mt.overlay_inputs
             hm = [half_maps(i.map1, i.map2, i.roi) for i in all_inputs]
-            plan.remap_uv = merge_remap_plans(
-                [(a, b) for a, b, _ in hm],
-                in_sizes[0][0] // 2,
-                in_sizes[0][1] // 2,
-                paired=True,
+            # group equal-size cameras: one batched Mosaic kernel per
+            # size group (the reference Mapper handles per-input sizes
+            # uniformly, mapper.cpp:47-191)
+            by_size = {}
+            for idx, hw in enumerate(map(tuple, in_sizes)):
+                by_size.setdefault(hw, []).append(idx)
+            plan.group_idx = tuple(tuple(v) for v in by_size.values())
+            plan.remap_y_groups = tuple(
+                merge_remap_plans(
+                    [
+                        (all_inputs[i].map1, all_inputs[i].map2)
+                        for i in idxs
+                    ],
+                    in_sizes[idxs[0]][0],
+                    in_sizes[idxs[0]][1],
+                    paired=True,
+                )
+                for idxs in plan.group_idx
             )
+            plan.remap_uv_groups = tuple(
+                merge_remap_plans(
+                    [hm[i][:2] for i in idxs],
+                    in_sizes[idxs[0]][0] // 2,
+                    in_sizes[idxs[0]][1] // 2,
+                    paired=True,
+                )
+                for idxs in plan.group_idx
+            )
+            if len(plan.group_idx) == 1:
+                # single-size rigs keep the flat fields (profiling tools
+                # read them; tools/profile_phases.py)
+                plan.batched_remap = plan.remap_y_groups[0]
+                plan.remap_uv = plan.remap_uv_groups[0]
             rois_uv = [r for _, _, r in hm[:n]]
             if blend > 0:
                 seams_uv = [
@@ -374,6 +467,10 @@ class Mapper:
         self._stitch_gains = jax.jit(
             lambda plan, bufs, g: self._forward(plan, bufs, g)
         )
+        # donated variants (frame-buffer HBM reuse) compile lazily on
+        # first stitch(donate=True); see stitch() docstring
+        self._stitch_auto_don = None
+        self._stitch_gains_don = None
 
     # ------------------------------------------------------------ forward
 
@@ -530,46 +627,94 @@ class Mapper:
             vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
             packs_uv.append(pack_pairs([uq, vq]))
 
-        warped_y = list(
-            pallas_remap_apply_batched(
-                jnp.stack(packs_y),
-                plan.batched_remap,
+        # one batched kernel launch per equal-size camera group
+        total = len(packs_y)
+        warped_y = [None] * total
+        warped_uv = [None] * total
+        for idxs, rp_y, rp_uv in zip(
+            plan.group_idx, plan.remap_y_groups, plan.remap_uv_groups
+        ):
+            outs_y = pallas_remap_apply_batched(
+                jnp.stack([packs_y[i] for i in idxs]),
+                rp_y,
                 out_dtype=remap_dtype,
                 nc=1,
                 paired=True,
                 interpret=self._interpret,
             )
-        )
-        warped_uv = list(
-            pallas_remap_apply_batched(
-                jnp.stack(packs_uv),
-                plan.remap_uv,
+            outs_uv = pallas_remap_apply_batched(
+                jnp.stack([packs_uv[i] for i in idxs]),
+                rp_uv,
                 out_dtype=remap_dtype,
                 nc=2,
                 paired=True,
                 interpret=self._interpret,
             )
-        )
+            for i, wy, wuv in zip(idxs, outs_y, outs_uv):
+                warped_y[i] = wy
+                warped_uv[i] = wuv
         # center chroma: covered pixels carry (U-128, V-128); uncovered
         # stay 0 and become neutral 128 at the output stage
         warped_uv = [wuv - jnp.asarray(128.0, wuv.dtype) for wuv in warped_uv]
 
-        # exposure gains from the warped LUMA plane (the reference's
-        # elementNorm is the RGB L2 norm, = sqrt(3)*Y for gray pixels;
-        # the sqrt(3) keeps gain magnitudes comparable across pipelines
-        # under the beta prior)
+        # exposure gains from the EXACT elementNorm (gpu_mat.cu:444-485):
+        # RGB L2 norm reconstructed from pooled luma + pooled centered
+        # chroma on the same working grid (yuv_mode.yuv_rgb_norm) — the
+        # chroma plane is already remapped at half res, so this costs a
+        # 0.1 MP-grid pool + a few FMAs, not an image upsample
         work_norms = []
         if plan.gain is not None:
-            for w, ip in zip(warped_y[:n], plan.inputs):
+            from .yuv_mode import yuv_rgb_norm
+
+            for wy, wuv, ip in zip(
+                warped_y[:n], warped_uv[:n], plan.inputs
+            ):
                 oy, ox, s, wh, ww = ip.work_sub
-                wimg = w[:, oy : oy + wh * s, ox : ox + ww * s].astype(
+                yimg = wy[:, oy : oy + wh * s, ox : ox + ww * s].astype(
                     jnp.float32
                 )
-                wimg = _pool_pow2(wimg, s, col_mat=ip.pool_cols)
-                work_norms.append(math.sqrt(3.0) * wimg[0])
+                yimg = _pool_pow2(yimg, s, col_mat=ip.pool_cols)
+                if ip.work_sub_uv is not None:
+                    oyu, oxu, su, _, _ = ip.work_sub_uv
+                    uvimg = wuv[
+                        :, oyu : oyu + wh * su, oxu : oxu + ww * su
+                    ].astype(jnp.float32)
+                    uvimg = _pool_pow2(uvimg, su, col_mat=ip.pool_cols_uv)
+                else:  # stride 1: nearest chroma gather
+                    uvimg = wuv.astype(jnp.float32)[
+                        :, jnp.asarray(ip.uv_rows)
+                    ][:, :, jnp.asarray(ip.uv_cols)]
+                work_norms.append(
+                    yuv_rgb_norm(yimg[0], uvimg[0], uvimg[1])
+                )
 
         gains = None
-        if plan.gain is not None:
+        if plan.gain_blocks is not None:
+            # one lattice solve, two sample grids: per-pixel gain maps
+            # on the luma grid and on the half-resolution chroma grid
+            # (chroma px = 2 luma px, so the lattice scale doubles)
+            lattice = solve_block_lattice(plan.gain_blocks, work_norms)
+            gmaps_y = sample_block_lattice(
+                plan.gain_blocks,
+                lattice,
+                [ip.roi for ip in plan.inputs],
+                scale=plan.working_scale,
+            )
+            gmaps_uv = sample_block_lattice(
+                plan.gain_blocks,
+                lattice,
+                [ip.roi_uv for ip in plan.inputs],
+                scale=plan.working_scale * 2.0,
+            )
+            warped_y = [
+                w * gmaps_y[i][None].astype(w.dtype) if i < n else w
+                for i, w in enumerate(warped_y)
+            ]
+            warped_uv = [
+                w * gmaps_uv[i][None].astype(w.dtype) if i < n else w
+                for i, w in enumerate(warped_uv)
+            ]
+        elif plan.gain is not None:
             if ext_gains is None:
                 gains = solve_gains(plan.gain, work_norms)
             else:
@@ -630,10 +775,20 @@ class Mapper:
                 jnp.where(mh, wuv.astype(uv_canvas.dtype), region)
             )
 
-        y8 = jnp.clip(jnp.round(y_canvas[0].astype(jnp.float32)), 0, 255).astype(
-            jnp.uint8
-        )
+        yf = y_canvas[0].astype(jnp.float32)
         uvf = uv_canvas.astype(jnp.float32) + 128.0
+        if plan.out_size != plan.canvas_size:
+            # output resize in the native planes (mapper.cpp:285-311's
+            # out_size semantics): Y at full res, chroma at half res
+            ow, oh = plan.out_size
+            yf = resize_bilinear(yf, oh, ow, xp=jnp)
+            uvf = jnp.stack(
+                [
+                    resize_bilinear(uvf[c], oh // 2, ow // 2, xp=jnp)
+                    for c in range(2)
+                ]
+            )
+        y8 = jnp.clip(jnp.round(yf), 0, 255).astype(jnp.uint8)
         u8 = jnp.clip(jnp.round(uvf[0]), 0, 255).astype(jnp.uint8)
         v8 = jnp.clip(jnp.round(uvf[1]), 0, 255).astype(jnp.uint8)
         out = merge_yuv420p(y8, u8, v8)
@@ -645,17 +800,36 @@ class Mapper:
 
     # ------------------------------------------------------------- public
 
-    def stitch(self, yuv_inputs, gains=None):
+    def stitch(self, yuv_inputs, gains=None, donate=False):
         """yuv_inputs: list of [Hi*3/2, Wi] uint8 arrays (packed YUV420P).
         Returns (yuv_out [Ho*3/2, Wo] uint8, gains [n] f32).  Pass
         ``gains`` to reuse exposure gains from another output (the
-        async.cpp:75-91 gain-sharing semantics)."""
+        async.cpp:75-91 gain-sharing semantics).  ``donate=True`` donates
+        the frame buffers to XLA (the pinned-HostMem reuse analogue,
+        async.cpp:263-309): their HBM is recycled for the stitch's
+        temporaries, but the caller must NOT touch them afterwards —
+        streaming callers that upload a fresh frame set per call
+        (runtime/pipeline.py) opt in; the donated jits compile lazily so
+        non-streaming users never pay the extra compile."""
         bufs = tuple(jnp.asarray(b) for b in yuv_inputs)
         if gains is None:
+            if donate:
+                if self._stitch_auto_don is None:
+                    self._stitch_auto_don = jax.jit(
+                        lambda plan, bufs: self._forward(plan, bufs, None),
+                        donate_argnums=(1,),
+                    )
+                return self._stitch_auto_don(self._plan_dev, bufs)
             return self._stitch_auto(self._plan_dev, bufs)
-        return self._stitch_gains(
-            self._plan_dev, bufs, jnp.asarray(gains, dtype=jnp.float32)
-        )
+        g = jnp.asarray(gains, dtype=jnp.float32)
+        if donate:
+            if self._stitch_gains_don is None:
+                self._stitch_gains_don = jax.jit(
+                    lambda plan, bufs, g: self._forward(plan, bufs, g),
+                    donate_argnums=(1,),
+                )
+            return self._stitch_gains_don(self._plan_dev, bufs, g)
+        return self._stitch_gains(self._plan_dev, bufs, g)
 
 
 class FastMapper(Mapper):
