@@ -63,6 +63,13 @@ def main(argv=None):
     ap.add_argument("--gain", type=int, default=0, help="-1 disables")
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--preview", default=None)
+    ap.add_argument(
+        "--preview_shm",
+        default=None,
+        help="mmap live-preview file (runtime/preview.py); readable "
+        "concurrently by any viewer process, the QSharedMemory preview "
+        "role (preview_video.cpp)",
+    )
     ap.add_argument("--restarts", type=int, default=2)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args(argv)
@@ -124,6 +131,8 @@ def main(argv=None):
         stream_cmd += ["--frames", str(args.frames)]
     if args.preview:
         stream_cmd += ["--preview", args.preview]
+    if args.preview_shm:
+        stream_cmd += ["--preview_shm", args.preview_shm]
 
     attempt = 0
     while True:

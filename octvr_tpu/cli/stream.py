@@ -52,19 +52,34 @@ def main(argv=None):
     )
     ap.add_argument("--preview_interval", type=int, default=30)
     ap.add_argument(
+        "--preview_shm",
+        default=None,
+        help="mmap live-preview file: every frame of output 0 is "
+        "published (downscaled to --preview_size) to a double-buffered "
+        "seqlocked RGB24 buffer any process can read concurrently "
+        "(runtime/preview.py; the QSharedMemory preview role, "
+        "async.cpp:312-335 + octvr.hpp:93-101)",
+    )
+    ap.add_argument(
+        "--preview_size",
+        default=None,
+        help="WxH of the mmap preview (default: output 0 at 1/2 scale)",
+    )
+    ap.add_argument(
         "--pipeline",
-        default="rgb",
-        choices=("rgb", "yuv420"),
+        default="auto",
+        choices=("auto", "rgb", "yuv420"),
         help="online compute path: yuv420 = YUV-native (1-ch full-res Y "
         "fan + 2-ch half-res chroma fan, ~1.5x faster on TPU; needs "
-        "equal camera sizes and even geometry)",
+        "even geometry); auto = yuv420 on TPU when geometry allows",
     )
     ap.add_argument(
         "--blend_dtype",
-        default="float32",
+        default=None,
         choices=("float32", "bfloat16"),
         help="multiband pyramid precision (bfloat16 = the 16-bit "
-        "analogue of the reference's CV_16S GPU pyramids)",
+        "analogue of the reference's CV_16S GPU pyramids); default "
+        "bfloat16 on TPU, float32 elsewhere",
     )
     ap.add_argument(
         "--timers",
@@ -136,6 +151,51 @@ def main(argv=None):
     n_pushed = n_popped = 0
     eof = False
 
+    shm = None
+    if args.preview_shm:
+        from ..runtime.preview import PreviewWriter
+
+        W0, H0 = mappers[0].plan.out_size
+        if args.preview_size:
+            pw, ph = (int(v) for v in args.preview_size.lower().split("x"))
+        else:
+            pw, ph = max(2, W0 // 2), max(2, H0 // 2)
+        shm = PreviewWriter(args.preview_shm, pw, ph)
+        # nearest-sample index grids (host-side; the preview must not
+        # add device work, async.cpp:149-171 copies out of the D2H mat)
+        shm_yi = (np.arange(ph) * H0) // ph
+        shm_xi = (np.arange(pw) * W0) // pw
+        print(f"# preview: {args.preview_shm} ({pw}x{ph})", file=sys.stderr)
+
+    def publish_shm(outs, frame_no):
+        if shm is None:
+            return
+        buf = outs[0]
+        W0, H0 = mappers[0].plan.out_size
+        y = buf[:H0][shm_yi][:, shm_xi].astype(np.float32)
+        u = (
+            buf[H0:, : W0 // 2][shm_yi // 2][:, shm_xi // 2].astype(np.float32)
+            - 128.0
+        )
+        v = (
+            buf[H0:, W0 // 2 :][shm_yi // 2][:, shm_xi // 2].astype(np.float32)
+            - 128.0
+        )
+        # full-range BT.601, same matrix as ops/color.py
+        rgb = np.stack(
+            [
+                y + 1.402 * v,
+                y - 0.344136 * u - 0.714136 * v,
+                y + 1.772 * u,
+            ],
+            axis=-1,
+        )
+        shm.write(
+            np.clip(rgb, 0, 255).astype(np.uint8),
+            fps=amm.fps.value(),
+            frame_no=frame_no,
+        )
+
     def write_preview(outs, frame_no):
         if args.preview is None:
             return
@@ -156,6 +216,7 @@ def main(argv=None):
         for wtr, o in zip(writers, outs):
             wtr.push(o)
         write_preview(outs, n_popped)
+        publish_shm(outs, n_popped)
         n_popped += 1
         if n_popped % 10 == 0:
             # read-only: the drain thread already ticks the meter once
@@ -191,6 +252,8 @@ def main(argv=None):
             r.close()
         for wtr in writers:
             wtr.close()
+        if shm is not None:
+            shm.close()
     timer.tick(f"{n_popped} frames")
     dt = time.time() - t_start
     if n_popped and dt > 0:
