@@ -160,14 +160,64 @@ def find_homography_ransac(
         return None, None
     best_mask = inl[best]
 
-    # refit on inliers (DLT least squares), then re-evaluate, twice
+    return _refit_inliers(src, dst, best_mask, thresh, min_matches)
+
+
+def _refit_inliers(src, dst, mask, thresh, min_matches):
+    """Final model polish on host f64 (matchers.cpp:657 refits on
+    inliers): DLT least squares on the inlier set, re-evaluate, twice."""
     for _ in range(2):
-        h = _dlt(src[best_mask], dst[best_mask])
+        h = _dlt(src[mask], dst[mask])
         err = np.linalg.norm(_project(h, src) - dst, axis=-1)
-        best_mask = err < thresh
-        if best_mask.sum() < min_matches:
+        mask = err < thresh
+        if mask.sum() < min_matches:
             return None, None
-    return _dlt(src[best_mask], dst[best_mask]), best_mask
+    return _dlt(src[mask], dst[mask]), mask
+
+
+def _h4p(s, d):
+    """Batched 4-point homography with h33=1: one linear solve per
+    hypothesis (degenerate samples yield a singular system -> non-finite
+    H -> zero inliers, the lazy-rejection semantics of the host path)."""
+    x, y = s[..., 0], s[..., 1]  # [..., 4]
+    u, v = d[..., 0], d[..., 1]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    r0 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], -1)
+    r1 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], -1)
+    a = jnp.concatenate([r0, r1], axis=-2)  # [..., 8, 8]
+    b = jnp.concatenate([u, v], axis=-1)  # [..., 8]
+    h = jnp.linalg.solve(a, b[..., None])[..., 0]
+    h = jnp.concatenate([h, jnp.ones_like(h[..., :1])], axis=-1)
+    return h.reshape(h.shape[:-1] + (3, 3))
+
+
+@jax.jit
+def _ransac_score_batch(src, dst, valid, samples, thresh):
+    """Hypothesis generation + scoring for EVERY pair as one device
+    program (VERDICT r2 item 7; the reference runs the pairwise fan-out
+    on parallel CPU threads, matchers.cpp:530-555).  src/dst [P, M, 2]
+    padded, valid [P, M], samples [P, B, 4].  Returns the best
+    hypothesis's inlier mask [P, M] and count [P]."""
+    s = jax.vmap(lambda a, i: a[i])(src, samples)  # [P, B, 4, 2]
+    d = jax.vmap(lambda a, i: a[i])(dst, samples)
+    hs = _h4p(s, d)  # [P, B, 3, 3]
+    pts = jnp.concatenate([src, jnp.ones_like(src[..., :1])], -1)
+    proj = jnp.einsum("pbij,pmj->pbmi", hs, pts)
+    z = proj[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    pp = proj[..., :2] / z[..., None]
+    err2 = jnp.sum((pp - dst[:, None]) ** 2, axis=-1)  # [P, B, M]
+    inl = (
+        (err2 < thresh * thresh)
+        & valid[:, None, :]
+        & jnp.isfinite(err2)
+    )
+    counts = inl.sum(axis=-1)  # [P, B]
+    best = jnp.argmax(counts, axis=1)
+    bmask = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    bcount = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+    return bmask, bcount
 
 
 def _pairs_from_nn(d12, i12, d21, i21, match_conf):
@@ -245,6 +295,10 @@ def match_images(
     d21, i21 = _two_nn_batch(desc[jj], val[jj], desc[ii], val[ii])
     d12, i12, d21, i21 = (np.asarray(a) for a in (d12, i12, d21, i21))
 
+    # correspondence extraction (ratio test, host) per pair, then
+    # hypothesis generation + scoring for ALL eligible pairs as ONE
+    # device call; only the tiny per-pair inlier refit stays on host
+    ransac = []  # (key, src, dst)
     for p, (i, j) in enumerate(pair_list):
         f1, f2 = features[i], features[j]
         pairs, valid = _pairs_from_nn(
@@ -252,7 +306,7 @@ def match_images(
         )
         mi = MatchesInfo(src_idx=i, dst_idx=j, pairs=pairs, valid=valid)
         out[(i, j)] = mi
-        if len(pairs) < num_matches_thresh1:
+        if len(pairs) < max(num_matches_thresh1, 4):
             continue
         k1 = np.asarray(f1.keypoints)
         k2 = np.asarray(f2.keypoints)
@@ -260,13 +314,42 @@ def match_images(
         w2, h2 = f2.img_size
         src = k1[pairs[:, 0]] - np.array([w1 * 0.5, h1 * 0.5])
         dst = k2[pairs[:, 1]] - np.array([w2 * 0.5, h2 * 0.5])
-        H, inl = find_homography_ransac(src, dst, seed=seed + i * n + j)
+        ransac.append(((i, j), src, dst))
+    if not ransac:
+        return out
+
+    iters, thresh = 1024, 3.0
+    mmax = max(len(s) for _, s, _ in ransac)
+    rng = np.random.default_rng(seed)
+    P = len(ransac)
+    src_b = np.zeros((P, mmax, 2), np.float32)
+    dst_b = np.zeros((P, mmax, 2), np.float32)
+    val_b = np.zeros((P, mmax), bool)
+    smp_b = np.zeros((P, iters, 4), np.int32)
+    for p, (_, s, d) in enumerate(ransac):
+        m = len(s)
+        src_b[p, :m] = s
+        dst_b[p, :m] = d
+        val_b[p, :m] = True
+        smp_b[p] = rng.integers(0, m, size=(iters, 4))
+    masks, counts = _ransac_score_batch(
+        src_b, dst_b, val_b, smp_b, thresh
+    )
+    masks, counts = np.asarray(masks), np.asarray(counts)
+
+    for p, ((i, j), src, dst) in enumerate(ransac):
+        if counts[p] < 4:
+            continue
+        H, inl = _refit_inliers(
+            src, dst, masks[p, : len(src)], thresh, min_matches=4
+        )
         if H is None or abs(np.linalg.det(H)) < np.finfo(float).eps:
             continue
+        mi = out[(i, j)]
         mi.H = H
         mi.inliers = inl
         mi.num_inliers = int(inl.sum())
-        conf = mi.num_inliers / (8 + 0.3 * len(pairs))
+        conf = mi.num_inliers / (8 + 0.3 * len(mi.pairs))
         # drop too-close image pairs (matchers.cpp:631)
         mi.confidence = 0.0 if conf > 3.0 else conf
     return out

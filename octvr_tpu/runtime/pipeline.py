@@ -4,10 +4,15 @@
 The reference runs 5 worker threads over blocking queues with triple
 buffering (copy-in, H2D, stitch, D2H, copy-out; async.cpp:337-349,
 BUF_SIZE=3 :261).  On TPU the device work is dispatched asynchronously
-by the runtime, so the pipeline needs only three host stages:
+by the runtime, so the pipeline needs four host stages:
 
-  feed thread:    pin/convert frames -> jax.device_put (async H2D)
-  stitch thread:  dispatch the jitted stitch (returns immediately)
+  upload stage:   jax.device_put on a 2-worker pool — two frame sets in
+                  flight on separate threads, the pinned-HostMem upload
+                  thread analogue (async.cpp:58-68, 263-309); order is
+                  preserved by queueing futures, not results
+  stitch thread:  dispatch the jitted stitch (returns immediately); the
+                  frame buffers are DONATED on their last use so XLA
+                  recycles their HBM (HostMem pool reuse, async.cpp:263)
   drain thread:   block on the oldest in-flight output, np.asarray (D2H)
 
 Multiple outputs (multi-region stereo layouts) are one Mapper each with
@@ -17,7 +22,7 @@ gain sharing across outputs (gain_modes semantics, async.hpp:79:
 
 import queue
 import threading
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import numpy as np
@@ -25,8 +30,9 @@ import numpy as np
 from .timer import FpsMeter
 
 BUF_SIZE = 3  # frames in flight, like async.cpp:261
+UPLOAD_WORKERS = 2  # in-flight H2D transfers (async.cpp:263-309 pool)
 
-__all__ = ["AsyncMultiMapper", "BUF_SIZE"]
+__all__ = ["AsyncMultiMapper", "BUF_SIZE", "UPLOAD_WORKERS"]
 
 
 class _Stop:
@@ -39,7 +45,9 @@ _STOP = _Stop()
 class AsyncMultiMapper:
     """mappers: list of Mapper (one per output region); gain_modes: per
     output, -1 = no compensation, own-index = solve, other-index = reuse
-    that output's gains."""
+    that output's gains.  donate: recycle frame-buffer HBM via XLA
+    donation on each frame's last stitch call (safe here because the
+    pipeline never touches a frame set after dispatching it)."""
 
     def __init__(
         self,
@@ -47,11 +55,15 @@ class AsyncMultiMapper:
         gain_modes: Optional[List[int]] = None,
         timers: bool = False,
         timer_interval: int = 10,
+        donate: bool = True,
     ):
         import jax
 
         self._jax = jax
         self.mappers = mappers
+        # donation is a warning no-op on the CPU backend; keep it off
+        # there so tests stay quiet
+        self.donate = donate and jax.default_backend() in ("tpu", "gpu")
         n_out = len(mappers)
         self.gain_modes = (
             list(gain_modes) if gain_modes is not None else list(range(n_out))
@@ -59,6 +71,7 @@ class AsyncMultiMapper:
         assert len(self.gain_modes) == n_out
 
         self._in_q = queue.Queue(maxsize=BUF_SIZE)
+        self._up_q = queue.Queue(maxsize=BUF_SIZE)
         self._flight_q = queue.Queue(maxsize=BUF_SIZE)
         self._out_q = queue.Queue(maxsize=BUF_SIZE)
         self.fps = FpsMeter()
@@ -68,7 +81,11 @@ class AsyncMultiMapper:
         self._timer_interval = max(1, timer_interval)
         self._stage_ms = {"upload": 0.0, "dispatch": 0.0, "drain": 0.0}
         self._stage_n = 0
+        self._pool = ThreadPoolExecutor(
+            max_workers=UPLOAD_WORKERS, thread_name_prefix="octvr-upload"
+        )
         self._threads = [
+            threading.Thread(target=self._run_upload, daemon=True),
             threading.Thread(target=self._run_stitch, daemon=True),
             threading.Thread(target=self._run_drain, daemon=True),
         ]
@@ -77,18 +94,36 @@ class AsyncMultiMapper:
 
     # ----------------------------------------------------------- stages
 
-    def _run_stitch(self):
+    def _upload_one(self, item):
         import time
 
         jax = self._jax
+        t0 = time.perf_counter()
+        frames = [jax.device_put(f) for f in item]
+        jax.block_until_ready(frames)  # H2D boundary (async.cpp:58)
+        self._stage_ms["upload"] += (time.perf_counter() - t0) * 1e3
+        return frames
+
+    def _run_upload(self):
+        """Coordinator: submits uploads to the 2-worker pool and queues
+        the FUTURES in arrival order — two H2D transfers proceed
+        concurrently while frame order is preserved downstream."""
         while True:
             item = self._in_q.get()
             if isinstance(item, _Stop):
+                self._up_q.put(_STOP)
+                return
+            self._up_q.put(self._pool.submit(self._upload_one, item))
+
+    def _run_stitch(self):
+        import time
+
+        while True:
+            fut = self._up_q.get()
+            if isinstance(fut, _Stop):
                 self._flight_q.put(_STOP)
                 return
-            t0 = time.perf_counter()
-            frames = [jax.device_put(f) for f in item]
-            jax.block_until_ready(frames)  # H2D boundary (async.cpp:58)
+            frames = fut.result()  # resident on device
             t1 = time.perf_counter()
             outs = [None] * len(self.mappers)
             gains = [None] * len(self.mappers)
@@ -97,17 +132,19 @@ class AsyncMultiMapper:
                 range(len(self.mappers)),
                 key=lambda k: 0 if self.gain_modes[k] in (-1, k) else 1,
             )
-            for k in order:
+            for pos, k in enumerate(order):
                 mode = self.gain_modes[k]
+                last = pos == len(order) - 1
+                don = self.donate and last
                 if mode == -1 or mode == k:
-                    out, g = self.mappers[k].stitch(frames)
+                    out, g = self.mappers[k].stitch(frames, donate=don)
                 else:
-                    out, g = self.mappers[k].stitch(frames, gains=gains[mode])
+                    out, g = self.mappers[k].stitch(
+                        frames, gains=gains[mode], donate=don
+                    )
                 outs[k] = out
                 gains[k] = g
-            t2 = time.perf_counter()
-            self._stage_ms["upload"] += (t1 - t0) * 1e3
-            self._stage_ms["dispatch"] += (t2 - t1) * 1e3
+            self._stage_ms["dispatch"] += (time.perf_counter() - t1) * 1e3
             self._flight_q.put(outs)
 
     def _run_drain(self):
@@ -153,3 +190,4 @@ class AsyncMultiMapper:
         self._in_q.put(_STOP)
         for t in self._threads:
             t.join(timeout=30)
+        self._pool.shutdown(wait=False)
