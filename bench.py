@@ -158,11 +158,32 @@ def default_path_regression():
     m_ref = Mapper(
         mt, sizes, blend=16, pipeline="rgb", blend_dtype="float32"
     )
+    # the fixture must be IN-GAMUT YUV (derived from real RGB): random
+    # YUV noise falls outside the RGB cube, where the rgb path's gamut
+    # clip and the yuv420 path (which never leaves YUV) legitimately
+    # diverge — that's a fixture artifact, not a pipeline regression
     rng = np.random.default_rng(3)
-    frames = [
-        rng.integers(0, 255, (512 * 3 // 2, 512), dtype=np.uint8)
-        for _ in range(2)
-    ]
+    frames = []
+    for _ in range(2):
+        yy, xx = np.mgrid[0:512, 0:512].astype(np.float32) / 512.0
+        rgb = np.stack(
+            [
+                127 + 90 * np.sin(6.3 * xx + 2 * yy + rng.uniform(0, 6)),
+                127 + 90 * np.cos(4.1 * yy - 3 * xx + rng.uniform(0, 6)),
+                127 + 90 * np.sin(2.7 * (xx + yy) + rng.uniform(0, 6)),
+            ],
+            axis=-1,
+        ) + rng.normal(0.0, 6.0, (512, 512, 3))
+        r, g, b = (np.clip(rgb, 0, 255)[..., c] for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        u2 = u.reshape(256, 2, 256, 2).mean(axis=(1, 3))
+        v2 = v.reshape(256, 2, 256, 2).mean(axis=(1, 3))
+        buf = np.concatenate(
+            [y, np.concatenate([u2, v2], axis=1)], axis=0
+        )
+        frames.append(np.clip(np.round(buf), 0, 255).astype(np.uint8))
     out_d, g_d = m_def.stitch(frames)
     out_r, g_r = m_ref.stitch(frames)
     h = 128
