@@ -613,7 +613,18 @@ def pack_pairs(planes):
     return base | (nxt << (8 * nc))
 
 
-def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False):
+def pack_pair_rows(plane):
+    """Single-channel plane (int32 [..., H, W], H even, values 0..255)
+    -> row-packed paired int32 [..., H/2, W] for the rowpack fan: byte
+    layout [y(2r, x), y(2r, x+1), y(2r+1, x), y(2r+1, x+1)].  Each
+    window row visit then serves TWO source rows from ONE gather,
+    halving the fan's serial iteration count (the fori_loop carry is
+    the latency bound, docs/kernel-notes.md)."""
+    base = pack_pairs([plane])
+    return base[..., 0::2, :] | (base[..., 1::2, :] << 16)
+
+
+def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
     """Batched kernel: one grid step = G output tiles sharing one
     window.  Same row fan as _kernel per sub-tile; per-tile operands
     unpack from the two packed refs; no valid ref (sentinel indices
@@ -631,9 +642,27 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False):
     (edge clamp baked into the pair packing, see pack_pairs).  The fan
     is gather-bound — the two take_along_axis per visited row dominate
     its cost — and pairing halves that to ONE gather per row; the x1
-    lane indices and block masks disappear entirely."""
+    lane indices and block masks disappear entirely.
 
+    ``rowpack`` (nc == 1, paired): the input additionally packs TWO
+    consecutive source rows per int32 (see pack_pair_rows) so one
+    gather serves all four bilinear taps of two rows; the window refs
+    shrink to (KH/2, 128) and the fan's serial row loop HALVES — the
+    loop carry is the latency bound, so iteration count is wall time.
+    The plan is unchanged (row ranges convert to packed units
+    in-kernel); requires KH % 16 == 0 (kh_multiple=16 at plan build)."""
+
+    KHr = KH // 2 if rowpack else KH
+    if rowpack:
+        assert nc == 1 and paired and KH % 16 == 0
     CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
+    if rowpack:
+        # half the SOURCE-row chunk: one iteration covers the same
+        # source span as the unpacked kernel (same iteration counts)
+        # with half the unrolled gathers per iteration
+        CHUNK = max(TH, CHUNK // 2)
+        while KHr % CHUNK:
+            CHUNK //= 2
 
     def kern(*args):
         (img_s, by_s, bx_s, by2_s, rng_s) = args[:5]
@@ -718,14 +747,55 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False):
                                 )
                         return tuple(accs)
 
+                    def body_rp(c, accs, win=win, base=base, a0=a0, a1=a1):
+                        # one gather serves TWO source rows (4 taps):
+                        # bytes [y(2p,x), y(2p,x+1), y(2p+1,x), y(2p+1,x+1)]
+                        (acc0,) = accs
+                        rowc = win[0, pl.ds(c * CHUNK, CHUNK), :]
+                        for r in range(CHUNK):
+                            rep = jnp.broadcast_to(
+                                rowc[r : r + 1, :], (TH, TW)
+                            )
+                            s0 = jnp.take_along_axis(rep, l0, axis=1)
+                            k0 = 2 * (c * CHUNK + r) + base
+                            k1 = k0 + 1
+                            wk0 = jnp.where(oy0v == k0, wy0, 0.0) + jnp.where(
+                                oy1v == k0, wy1, 0.0
+                            )
+                            wk1 = jnp.where(oy0v == k1, wy0, 0.0) + jnp.where(
+                                oy1v == k1, wy1, 0.0
+                            )
+                            t00 = (s0 & 0xFF).astype(jnp.float32)
+                            t01 = ((s0 >> 8) & 0xFF).astype(jnp.float32)
+                            t10 = ((s0 >> 16) & 0xFF).astype(jnp.float32)
+                            t11 = ((s0 >> 24) & 0xFF).astype(jnp.float32)
+                            acc0 = (
+                                acc0
+                                + (t00 * a0 + t01 * a1) * wk0
+                                + (t10 * a0 + t11 * a1) * wk1
+                            )
+                        return (acc0,)
+
+                    # rng values are source-row units within [0, 2*KH);
+                    # rowpack converts to packed-row units in-kernel
                     lo_h = jnp.maximum(lo_b, base) - base
                     hi_h = jnp.minimum(hi_b, base + KH) - base
-                    accs = jax.lax.fori_loop(
-                        lo_h // CHUNK,
-                        (hi_h + CHUNK - 1) // CHUNK,
-                        body,
-                        accs,
-                    )
+                    if rowpack:
+                        lo_p = lo_h // 2
+                        hi_p = (hi_h + 1) // 2
+                        accs = jax.lax.fori_loop(
+                            lo_p // CHUNK,
+                            (hi_p + CHUNK - 1) // CHUNK,
+                            body_rp,
+                            accs,
+                        )
+                    else:
+                        accs = jax.lax.fori_loop(
+                            lo_h // CHUNK,
+                            (hi_h + CHUNK - 1) // CHUNK,
+                            body,
+                            accs,
+                        )
 
             for ch in range(nc):
                 outs[ch][0, g] = accs[ch].astype(outs[ch].dtype)
@@ -789,6 +859,7 @@ def merge_remap_plans(
     group=None,
     prebuilt_plans=None,
     paired=False,
+    kh_multiple=None,
 ):
     """maps: list of (map1, map2).  Picks each input's tile patch shape,
     builds per-input plans with common (KH, KW), concatenates them into
@@ -820,6 +891,10 @@ def merge_remap_plans(
             ]
             force_kh = max(p.KH for p in probes)
             force_kw = max(p.KW for p in probes)
+        if kh_multiple:
+            # e.g. 16 for the rowpack fan (window height must halve to
+            # an 8-aligned Mosaic block)
+            force_kh = -(-force_kh // kh_multiple) * kh_multiple
         KH, KW = force_kh, force_kw
         # probe plans that already landed on the common (KH, KW) are the
         # final plans — only rebuild the rest (each build is seconds at
@@ -1017,7 +1092,8 @@ def getattr_cat(plans, field):
 
 
 @partial(
-    jax.jit, static_argnames=("interpret", "out_dtype", "nc", "paired")
+    jax.jit,
+    static_argnames=("interpret", "out_dtype", "nc", "paired", "rowpack"),
 )
 def pallas_remap_apply_batched(
     packed_stack,
@@ -1026,6 +1102,7 @@ def pallas_remap_apply_batched(
     out_dtype="float32",
     nc=3,
     paired=False,
+    rowpack=False,
 ):
     """packed_stack: int32 [N, H, W] with ``nc`` channels byte-packed
     per element (low byte first; nc=1 stores the raw value).  Returns a
@@ -1037,14 +1114,30 @@ def pallas_remap_apply_batched(
     ([ch(x) bytes..., ch(x+1) bytes...], edge-clamped by the caller's
     packing — see pack_pairs) and the fan gathers once per visited row.
     The plan must have been built with paired=True (tighter b0-only row
-    ranges)."""
+    ranges).
+
+    ``rowpack`` (nc == 1, paired): packed_stack is [N, H/2, W] from
+    pack_pair_rows — two source rows per int32, ONE gather per two rows
+    (see _kernel_grouped).  Needs plan KH % 16 == 0
+    (merge_remap_plans(kh_multiple=16))."""
     in_h, in_w = plan.in_shape
     KH, KW, nt, G = plan.KH, plan.KW, plan.nt, plan.G
     nb = KW // TW
 
     hp_in = -(-in_h // KH) * KH
     wp_in = max(-(-in_w // TW) * TW, 2 * KW)
-    if (hp_in, wp_in) != (in_h, in_w):
+    if rowpack:
+        assert nc == 1 and paired and in_h % 2 == 0 and KH % 16 == 0
+        if (hp_in // 2, wp_in) != packed_stack.shape[1:]:
+            packed_stack = jnp.pad(
+                packed_stack,
+                (
+                    (0, 0),
+                    (0, hp_in // 2 - packed_stack.shape[1]),
+                    (0, wp_in - in_w),
+                ),
+            )
+    elif (hp_in, wp_in) != (in_h, in_w):
         packed_stack = jnp.pad(
             packed_stack, ((0, 0), (0, hp_in - in_h), (0, wp_in - in_w))
         )
@@ -1058,12 +1151,14 @@ def pallas_remap_apply_batched(
         memory_space=pltpu.VMEM,
     )
 
+    KHr = KH // 2 if rowpack else KH
+
     def win_spec(sy, c):
         def imap(t, img_s, by_s, bx_s, by2_s, rng_s):
             yy = by2_s[t] if sy else by_s[t]
             return (img_s[t], yy, bx_s[t] + c)
 
-        return pl.BlockSpec((1, KH, TW), imap, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, KHr, TW), imap, memory_space=pltpu.VMEM)
 
     win_specs = [win_spec(0, c) for c in range(2 * nb)] + [
         win_spec(1, c) for c in range(2 * nb)
@@ -1077,7 +1172,7 @@ def pallas_remap_apply_batched(
     odt = jnp.dtype(out_dtype)
     shape = jax.ShapeDtypeStruct((plan.grid_nt, G, TH, TW), odt)
     chans = pl.pallas_call(
-        _kernel_grouped(KH, KW, nb, G, nc=nc, paired=paired),
+        _kernel_grouped(KH, KW, nb, G, nc=nc, paired=paired, rowpack=rowpack),
         grid_spec=grid_spec,
         out_shape=[shape] * nc,
         interpret=interpret,
@@ -1129,7 +1224,28 @@ def pallas_remap_apply_batched(
 
         out = jnp.stack([untile(ch) for ch in chans])
         res_out, res_idx, res_w = plan.res[i]
-        if res_out.shape[0]:
+        if res_out.shape[0] and rowpack:
+            # res_idx holds full-res flat taps [y0x0, y0x1, y1x0, y1x1];
+            # in the row-packed image tap (y, x0) lives in word
+            # (y//2, x0) at byte base 2*(y%2), and the x1 tap is the
+            # next byte (pair packing bakes the clamp)
+            flat = packed_stack[i].reshape(-1)
+            acc = jnp.zeros((1, res_out.shape[0]), dtype=jnp.float32)
+            for k in (0, 2):
+                y = res_idx[k] // wp_in
+                x0 = res_idx[k] % wp_in
+                word = jnp.take(flat, (y // 2) * wp_in + x0)
+                bb = 16 * (y % 2)  # byte base in bits
+                t0 = ((word >> bb) & 0xFF).astype(jnp.float32)
+                t1 = ((word >> (bb + 8)) & 0xFF).astype(jnp.float32)
+                acc = acc + (t0 * res_w[k] + t1 * res_w[k + 1])[None]
+            out = (
+                out.reshape(nc, -1)
+                .at[:, res_out]
+                .add(acc.astype(odt))
+                .reshape(nc, rh, rw)
+            )
+        elif res_out.shape[0]:
             flat = packed_stack[i].reshape(-1)
             acc = jnp.zeros((nc, res_out.shape[0]), dtype=jnp.float32)
             for k in range(4):

@@ -31,6 +31,7 @@ from ..ops.color import (
 )
 from ..ops.pallas_remap import (
     merge_remap_plans,
+    pack_pair_rows,
     pack_pairs,
     pallas_remap_apply,
     pallas_remap_apply_batched,
@@ -622,6 +623,10 @@ class Mapper:
                 uf = jnp.clip((uf - 128.0) * vh + 128.0, 0.0, 255.0)
                 vf = jnp.clip((vf - 128.0) * vh + 128.0, 0.0, 255.0)
             yq = jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
+            # NOTE: pack_pair_rows/rowpack=True (one gather per TWO
+            # rows) was measured at 18.9-19.1 ms vs 18.4 here — the Y
+            # fan is no longer gather-count-bound; see
+            # docs/kernel-notes.md "Row-packing: measured negative"
             packs_y.append(pack_pairs([yq]))
             uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
             vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)

@@ -154,3 +154,29 @@ def test_pallas_remap_paired():
         pack_pairs(q)[None], bp_p, interpret=True, nc=2, paired=True
     )[0]
     assert np.abs(np.asarray(ref2) - np.asarray(got2)).max() < 1e-3
+
+
+def test_pallas_remap_rowpack():
+    """rowpack (two source rows per int32, one gather per TWO rows):
+    matches the paired nc=1 path bit-for-bit, including residual
+    (out-of-window) pixels."""
+    from octvr_tpu.ops.pallas_remap import pack_pair_rows, pack_pairs
+
+    rng = np.random.default_rng(7)
+    in_h, in_w = 96, 256
+    m1, m2 = _arc_maps(64, 256)
+    y = jnp.asarray(
+        np.round(rng.uniform(0, 255, (in_h, in_w))).astype(np.int32)
+    )
+
+    bp = merge_remap_plans([(m1, m2)], in_h, in_w, paired=True,
+                           kh_multiple=16)
+    assert bp.KH % 16 == 0
+    ref = pallas_remap_apply_batched(
+        pack_pairs([y])[None], bp, interpret=True, nc=1, paired=True
+    )[0]
+    got = pallas_remap_apply_batched(
+        pack_pair_rows(y)[None], bp, interpret=True, nc=1, paired=True,
+        rowpack=True,
+    )[0]
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-3
