@@ -34,6 +34,7 @@ Design (maps are static per template):
   sentinel indices replace the valid-mask ref (see BatchedRemapPlan).
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -656,6 +657,15 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
     if rowpack:
         assert nc == 1 and paired and KH % 16 == 0
     CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
+    _env_chunk = int(os.environ.get("OCTVR_FAN_CHUNK", "0"))
+    if _env_chunk and KH % _env_chunk == 0:
+        CHUNK = _env_chunk  # experiment knob; see docs/kernel-notes.md
+    # number of interleaved accumulators per channel: the row loop's
+    # only serial dependence is the accumulate chain, so NACC > 1 lets
+    # the row gathers overlap (experiment knob; docs/kernel-notes.md)
+    NACC = max(1, int(os.environ.get("OCTVR_FAN_ACCS", "1")))
+    if rowpack:
+        NACC = 1  # body_rp keeps the single-accumulator carry
     if rowpack:
         # half the SOURCE-row chunk: one iteration covers the same
         # source span as the unpacked kernel (same iteration counts)
@@ -702,7 +712,7 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
                     return s >> (8 * field)
                 return (s >> (8 * field)) & 0xFF
 
-            accs = (zero,) * nc
+            accs = (zero,) * (nc * NACC)
             for b in range(2 * nb):
                 if paired:
                     a0 = jnp.where(b0 == b, 1.0 - fxv, 0.0)
@@ -734,14 +744,16 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
                             w0 = wk * a0
                             w1 = wk * a1
                             nfields = 2 * nc if paired else nc
+                            slot = r % NACC
                             for ch in range(nc):
                                 c0 = tap(s0, ch, nfields)
                                 if paired:
                                     c1 = tap(s0, nc + ch, nfields)
                                 else:
                                     c1 = tap(s1, ch, nfields)
-                                accs[ch] = (
-                                    accs[ch]
+                                j = ch * NACC + slot
+                                accs[j] = (
+                                    accs[j]
                                     + c0.astype(jnp.float32) * w0
                                     + c1.astype(jnp.float32) * w1
                                 )
@@ -798,7 +810,10 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
                         )
 
             for ch in range(nc):
-                outs[ch][0, g] = accs[ch].astype(outs[ch].dtype)
+                tot = accs[ch * NACC]
+                for a in range(1, NACC):
+                    tot = tot + accs[ch * NACC + a]
+                outs[ch][0, g] = tot.astype(outs[ch].dtype)
 
     return kern
 
@@ -965,15 +980,19 @@ def merge_remap_plans(
     gid = np.cumsum(change) - 1
     counts = np.bincount(gid) if nk else np.zeros(0, np.int64)
     if group is None:
-        # per-step fixed cost ~ (base + per-ref DMA issues) + G fan-loop
-        # setups; measured ~750 ns + ~110 ns/G on v5e
-        best = None
-        for cand in (1, 2, 4, 6, 8):
-            steps_c = int(np.ceil(counts / cand).sum())
-            cost = steps_c * (750 + 110 * cand)
-            if best is None or cost < best[0]:
-                best = (cost, cand)
-        group = best[1] if nk else 1
+        env_g = int(os.environ.get("OCTVR_REMAP_GROUP", "0"))
+        if env_g:
+            group = env_g  # experiment knob; see docs/kernel-notes.md
+        else:
+            # per-step fixed cost ~ (base + per-ref DMA issues) + G
+            # fan-loop setups; measured ~750 ns + ~110 ns/G on v5e
+            best = None
+            for cand in (1, 2, 4, 6, 8):
+                steps_c = int(np.ceil(counts / cand).sum())
+                cost = steps_c * (750 + 110 * cand)
+                if best is None or cost < best[0]:
+                    best = (cost, cand)
+            group = best[1] if nk else 1
     G = int(group)
 
     # flat position of tile j within the grouped grid
