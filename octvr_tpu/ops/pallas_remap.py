@@ -738,11 +738,16 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
                             if not paired:
                                 s1 = jnp.take_along_axis(rep, l1, axis=1)
                             k = c * CHUNK + r + base
-                            wk = jnp.where(oy0v == k, wy0, 0.0) + jnp.where(
-                                oy1v == k, wy1, 0.0
+                            # the two vertical taps are mutually
+                            # exclusive per pixel, so nested selects
+                            # replace the add; the horizontal mix
+                            # (c0*a0 + c1*a1) then takes ONE wk multiply
+                            # per channel instead of two
+                            wk = jnp.where(
+                                oy0v == k,
+                                wy0,
+                                jnp.where(oy1v == k, wy1, 0.0),
                             )
-                            w0 = wk * a0
-                            w1 = wk * a1
                             nfields = 2 * nc if paired else nc
                             slot = r % NACC
                             for ch in range(nc):
@@ -751,12 +756,12 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
                                     c1 = tap(s0, nc + ch, nfields)
                                 else:
                                     c1 = tap(s1, ch, nfields)
-                                j = ch * NACC + slot
-                                accs[j] = (
-                                    accs[j]
-                                    + c0.astype(jnp.float32) * w0
-                                    + c1.astype(jnp.float32) * w1
+                                mix = (
+                                    c0.astype(jnp.float32) * a0
+                                    + c1.astype(jnp.float32) * a1
                                 )
+                                j = ch * NACC + slot
+                                accs[j] = accs[j] + wk * mix
                         return tuple(accs)
 
                     def body_rp(c, accs, win=win, base=base, a0=a0, a1=a1):
