@@ -23,6 +23,7 @@ Usage:
 
 import argparse
 import os
+import queue
 import shutil
 import socket
 import struct
@@ -47,6 +48,8 @@ class FramePair:
         self._empty = threading.Condition(self._lock)
         self._waiting = None
         self.stopping = False
+        self.back_done = False
+        self.front_done = False
 
     def put_back(self, frame):
         with self._lock:
@@ -56,16 +59,27 @@ class FramePair:
                 self._empty.wait(timeout=0.1)
 
     def pair_front(self, frame):
-        """Returns (back, front) or None when stopping."""
+        """Returns (back, front), or None when stopping or the back
+        feed ended with nothing pending (unequal-length feeds must not
+        block the front reader forever)."""
         with self._lock:
-            while self._waiting is None and not self.stopping:
+            while (
+                self._waiting is None
+                and not self.stopping
+                and not self.back_done
+            ):
                 self._full.wait(timeout=0.1)
-            if self.stopping and self._waiting is None:
+            if self._waiting is None:
                 return None
             back = self._waiting
             self._waiting = None
             self._empty.notify_all()
             return back, frame
+
+    def finish_back(self):
+        with self._lock:
+            self.back_done = True
+            self._full.notify_all()
 
     def stop(self):
         with self._lock:
@@ -89,14 +103,19 @@ def reader_thread(path, frame_bytes, h, w, pair, index, max_frames):
                 res = pair.pair_front(frame)
                 if res is None:
                     break
-                pair.paired_q.append(res)
-                pair.paired_ev.set()
+                # bounded put: backpressure reaches the camera threads
+                # (the reference stitches inline on the pairing thread)
+                while not pair.stopping:
+                    try:
+                        pair.paired_q.put(res, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
             n += 1
     if index == 0:
-        pair.back_done = True
+        pair.finish_back()
     else:
         pair.front_done = True
-        pair.paired_ev.set()
 
 
 class RawSink:
@@ -199,10 +218,7 @@ def main(argv=None):
         sink = RawSink(args.out or "-")
 
     pair = FramePair()
-    pair.paired_q = []
-    pair.paired_ev = threading.Event()
-    pair.back_done = False
-    pair.front_done = False
+    pair.paired_q = queue.Queue(maxsize=2)
 
     frame_bytes = w * h * 3 // 2
     threads = [
@@ -241,17 +257,12 @@ def main(argv=None):
     t0 = time.time()
     timer = Timer("monkey")
     while True:
-        if not pair.paired_q:
+        try:
+            back, front = pair.paired_q.get(timeout=0.5)
+        except queue.Empty:
             if pair.front_done:
                 break
-            pair.paired_ev.clear()
-            if not pair.paired_ev.wait(timeout=0.5):
-                if pair.front_done:
-                    break
-                continue
-        if not pair.paired_q:
             continue
-        back, front = pair.paired_q.pop(0)
         # stitch into the slot the encoder is NOT holding
         # (monkey.cpp:141-144)
         target = 0 if encoding_idx[0] != 0 else 1

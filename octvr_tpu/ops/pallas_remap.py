@@ -51,6 +51,26 @@ TH, TW = 8, 128
 __all__ = ["PallasRemapPlan", "pallas_remap_plan", "pallas_remap_apply"]
 
 
+def fan_chunk(KH, rowpack=False):
+    """Window rows consumed per fan fori_loop iteration, including the
+    OCTVR_FAN_CHUNK experiment override (docs/kernel-notes.md).  The
+    single source of truth — tools/floor_probe derives its visit counts
+    from this so probe numbers match what the kernel executes."""
+    CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
+    env = int(os.environ.get("OCTVR_FAN_CHUNK", "0"))
+    if env and KH % env == 0:
+        CHUNK = env  # experiment knob
+    if rowpack:
+        # half the SOURCE-row chunk: one iteration covers the same
+        # source span as the unpacked kernel (same iteration counts)
+        # with half the unrolled gathers per iteration
+        KHr = KH // 2
+        CHUNK = max(TH, CHUNK // 2)
+        while KHr % CHUNK:
+            CHUNK //= 2
+    return CHUNK
+
+
 @dataclass
 class PallasRemapPlan:
     # static
@@ -155,6 +175,11 @@ def pallas_remap_plan(
     yi1 = np.minimum(yi0 + 1, in_h - 1)
     fx[invalid] = 0.0
     fy[invalid] = 0.0
+    # Edge clamp collapses the two taps onto one row/col; fold the full
+    # weight into tap 0 so kernels that treat the taps as mutually
+    # exclusive (nested-select wk in _kernel_grouped) stay exact.
+    fy[yi1 == yi0] = 0.0
+    fx[xi1 == xi0] = 0.0
 
     def tileize(a):
         # canvas patches (ph, pw) flatten row-major into (8, 128) tiles
@@ -656,23 +681,13 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
     KHr = KH // 2 if rowpack else KH
     if rowpack:
         assert nc == 1 and paired and KH % 16 == 0
-    CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
-    _env_chunk = int(os.environ.get("OCTVR_FAN_CHUNK", "0"))
-    if _env_chunk and KH % _env_chunk == 0:
-        CHUNK = _env_chunk  # experiment knob; see docs/kernel-notes.md
+    CHUNK = fan_chunk(KH, rowpack=rowpack)
     # number of interleaved accumulators per channel: the row loop's
     # only serial dependence is the accumulate chain, so NACC > 1 lets
     # the row gathers overlap (experiment knob; docs/kernel-notes.md)
     NACC = max(1, int(os.environ.get("OCTVR_FAN_ACCS", "1")))
     if rowpack:
         NACC = 1  # body_rp keeps the single-accumulator carry
-    if rowpack:
-        # half the SOURCE-row chunk: one iteration covers the same
-        # source span as the unpacked kernel (same iteration counts)
-        # with half the unrolled gathers per iteration
-        CHUNK = max(TH, CHUNK // 2)
-        while KHr % CHUNK:
-            CHUNK //= 2
 
     def kern(*args):
         (img_s, by_s, bx_s, by2_s, rng_s) = args[:5]

@@ -151,6 +151,45 @@ def test_monkey_tcp_sink(monkey_template, tmp_path):
     assert all(len(r) == W * H * 3 // 2 for r in received)
 
 
+def test_monkey_unequal_feed_lengths(monkey_template, tmp_path):
+    """Back feed ends FIRST (shorter): the CLI must terminate and emit
+    exactly min(len(back), len(front)) frames — regression for the
+    front-reader-blocks-forever hang."""
+    from octvr_tpu.cli.monkey import main
+
+    tmpl, mt = monkey_template
+    h = w = 160
+    lens = (2, 5)  # back shorter than front
+    feeds = []
+    for i, n in enumerate(lens):
+        p = tmp_path / f"cam{i}.nv12"
+        with open(p, "wb") as f:
+            for fr in make_nv12_frames(n, h, w, seed=20 + i):
+                f.write(fr.tobytes())
+        feeds.append(str(p))
+    out = tmp_path / "out.nv12"
+
+    result = {}
+
+    def run():
+        result["rc"] = main(
+            [
+                "-t", tmpl,
+                "--inputs", ",".join(feeds),
+                "--in_size", f"{w}x{h}",
+                "--out", str(out),
+            ]
+        )
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=60)
+    assert not th.is_alive(), "monkey CLI hung on unequal-length feeds"
+    assert result["rc"] == 0
+    W, H = mt.out_size
+    assert len(out.read_bytes()) == min(lens) * (W * H * 3 // 2)
+
+
 def test_frame_pair_rendezvous():
     """Back deposits + blocks until front pairs (monkey.cpp:92-130):
     pairing preserves per-feed order and backpressure."""

@@ -156,6 +156,54 @@ def test_pallas_remap_paired():
     assert np.abs(np.asarray(ref2) - np.asarray(got2)).max() < 1e-3
 
 
+def test_pallas_remap_edge_clamp_weights():
+    """Maps sampling past the last source row/col (py > in_h-1): the
+    clamp collapses both taps onto one row, and the grouped kernel's
+    nested-select wk must still deliver total weight 1 (regression for
+    the bottom-edge darkening bug: wk was wy0=1-fy instead of 1)."""
+    rng = np.random.default_rng(8)
+    in_h, in_w = 96, 256
+    rh, rw = 32, 256
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, rh), np.linspace(0, 1, rw), indexing="ij"
+    )
+    # bottom band samples past the last row: py in (in_h-1, in_h-0.5)
+    m1 = (0.1 + 0.8 * xx).astype(np.float32)
+    m2 = (0.6 + 0.3 * yy).astype(np.float32)
+    m2[-8:, :] = np.linspace(
+        (in_h - 0.9) / in_h, (in_h - 0.01) / in_h, 8, dtype=np.float32
+    )[:, None]
+    # right band samples past the last col
+    m1[:, -32:] = np.linspace(
+        (in_w - 0.9) / in_w, (in_w - 0.01) / in_w, 32, dtype=np.float32
+    )[None, :]
+
+    img = rng.uniform(64, 255, (3, in_h, in_w)).astype(np.float32)
+    packed = pack_rgb(jnp.asarray(img)).reshape(in_h, in_w)
+
+    ref = np.asarray(remap_apply_packed(packed.reshape(-1), remap_plan(m1, m2, in_h, in_w)))
+    bp = merge_remap_plans([(m1, m2)], in_h, in_w)
+    got = np.asarray(
+        pallas_remap_apply_batched(packed[None], bp, interpret=True)[0]
+    )
+    assert np.abs(ref - got).max() < 1e-3
+
+    # paired nc=1 path through the same clamped maps
+    from octvr_tpu.ops.pallas_remap import pack_pairs
+
+    y = jnp.asarray(np.round(img[0]).astype(np.int32))
+    bp_p = merge_remap_plans([(m1, m2)], in_h, in_w, paired=True)
+    ref1 = np.asarray(
+        pallas_remap_apply_batched(y[None], bp, interpret=True, nc=1)[0]
+    )
+    got1 = np.asarray(
+        pallas_remap_apply_batched(
+            pack_pairs([y])[None], bp_p, interpret=True, nc=1, paired=True
+        )[0]
+    )
+    assert np.abs(ref1 - got1).max() < 1e-3
+
+
 def test_pallas_remap_rowpack():
     """rowpack (two source rows per int32, one gather per TWO rows):
     matches the paired nc=1 path bit-for-bit, including residual

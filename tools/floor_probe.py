@@ -75,9 +75,11 @@ def timeit(name, fn, *args):
 def visits(plan):
     """Chunk-rounded fan row visits per frame (what the kernel executes)
     and the ideal 2-rows-per-pixel useful count."""
+    from octvr_tpu.ops.pallas_remap import fan_chunk
+
     rng = np.asarray(plan.rng).reshape(-1)
     KH = plan.KH
-    CHUNK = 32 if KH % 32 == 0 else (16 if KH % 16 == 0 else TH)
+    CHUNK = fan_chunk(KH)
     lo = rng & 0xFFFF
     hi = rng >> 16
     total = 0
