@@ -40,7 +40,10 @@ from scipy.ndimage import distance_transform_edt
 
 from ..ops.color import (
     down_cols_matrix,
+    merge_nv12,
+    merge_yuv420p,
     rgb_planar_to_yuv420p,
+    split_nv12,
     split_yuv420p,
     up_cols_matrix,
     yuv420p_to_rgb_planar,
@@ -57,6 +60,10 @@ from ..ops.remap import pack_rgb
 from ..ops.resize import resize_bilinear
 from ..stitch.blenders import WEIGHT_EPS, np_pyr_down
 from ..stitch.gain import ALPHA, BETA
+from ..stitch.gain_blocks import (
+    assemble_and_solve_lattice,
+    build_blocks_gain_plan,
+)
 from ..stitch.mapper import WORKING_MEGAPIX
 from ..template.compiler import MapperTemplate
 from ..utils.pytree import register_plan
@@ -91,6 +98,18 @@ class ShardedPlan:
     compute_dtype: str = "float32"  # multiband pyramid precision
     pipeline: str = "rgb"  # "rgb" | "yuv420"
     num_bands_uv: int = 0
+    frame_format: str = "yuv420p"  # "yuv420p" | "nv12" (in AND out)
+    # equal-size camera groups: one batched Mosaic kernel per size group
+    # (the reference Mapper handles per-input sizes uniformly,
+    # mapper.cpp:47-191); remap/remap_uv keep the flat single-group
+    # fields for tools
+    group_idx: tuple = ()
+    # output resize (mapper.cpp:285-311 out_size semantics): Y resizes
+    # at full res, chroma at half res, each band emitting its own
+    # output-row slice from its extended (halo-covered) rows
+    out_size: tuple = None  # (ow, oh); == canvas_size when unscaled
+    obh: int = 0  # output band rows (== bh when unscaled)
+    oW: int = 0  # output band width (== Wp when unscaled)
     # per-input aligned band ROIs (VERDICT r2 item 2): work is ROI-sized,
     # not band-sized.  x extent is shard-independent (bands split rows);
     # the y window has a homogenized height and a per-shard offset.
@@ -105,6 +124,24 @@ class ShardedPlan:
     roi_oy: object = None  # [S, ncam+nov] i32 per-shard band-row offsets
     remap: object = None  # BatchedRemapPlan with [S, ...] leaves
     remap_uv: object = None  # half-res chroma plan (yuv420 pipeline)
+    # per size group: stacked BatchedRemapPlans with [S, ...] leaves
+    remap_groups: tuple = ()
+    remap_uv_groups: tuple = ()
+    # per-shard output-resize row tables (band-local gather indices) and
+    # replicated column tables; None when out_size == canvas_size
+    resize_v: object = None  # dict(y0, y1: [S, obh] i32; fy: [S, obh] f32)
+    resize_h: object = None  # dict(x0, x1: [ow] i32; fx: [ow] f32)
+    resize_v_uv: object = None
+    resize_h_uv: object = None
+    gain_blocks: object = None  # replicated BlocksGainPlan ("blocks")
+    # union-box clamps (multiband only, set only when the camera union
+    # does NOT cover the whole canvas): zero the blended band outside
+    # the union so reflect-extended constants never leak into rows the
+    # single chip leaves black
+    union_row_mask: object = None  # [S, ext] f32
+    union_row_mask_uv: object = None  # [S, ext/2] f32
+    union_col_mask: object = None  # [Wp] f32
+    union_col_mask_uv: object = None  # [Wp/2] f32
     feather_w: object = None  # list per input: [S, hmax_i, iw_i] f32
     feather_w_uv: object = None  # list per input: [S, hmax_i/2, iw_i/2]
     # nested lists: [level][input] -> [S, hmax_i>>l, iw_i>>l]
@@ -135,6 +172,17 @@ register_plan(
         "roi_oy",
         "remap",
         "remap_uv",
+        "remap_groups",
+        "remap_uv_groups",
+        "resize_v",
+        "resize_h",
+        "resize_v_uv",
+        "resize_h_uv",
+        "gain_blocks",
+        "union_row_mask",
+        "union_row_mask_uv",
+        "union_col_mask",
+        "union_col_mask_uv",
         "feather_w",
         "feather_w_uv",
         "weight_pyrs",
@@ -174,6 +222,11 @@ register_plan(
         "compute_dtype",
         "pipeline",
         "num_bands_uv",
+        "frame_format",
+        "group_idx",
+        "out_size",
+        "obh",
+        "oW",
         "ralign",
         "ghalo",
         "rois",
@@ -187,6 +240,12 @@ _SPACE_FIELDS = (
     "roi_oy",
     "remap",
     "remap_uv",
+    "remap_groups",
+    "remap_uv_groups",
+    "resize_v",
+    "resize_v_uv",
+    "union_row_mask",
+    "union_row_mask_uv",
     "feather_w",
     "feather_w_uv",
     "weight_pyrs",
@@ -307,6 +366,8 @@ def build_sharded_plan(
     enable_gain: bool = True,
     blend_dtype: str = "float32",
     pipeline: str = "rgb",
+    scale_output=None,
+    frame_format: str = "yuv420p",
 ) -> ShardedPlan:
     """Per-input aligned band ROIs (the reference's per-region
     ROI-cropped Mapper work, async.cpp:247-259 + the aligned-ROI
@@ -322,17 +383,29 @@ def build_sharded_plan(
             f"blend dtype must be 'float32' or 'bfloat16', got {blend_dtype!r}"
         )
     assert pipeline in ("rgb", "yuv420")
-    if pipeline == "yuv420":
-        assert all(
-            h % 2 == 0 and w % 2 == 0 for h, w in in_sizes
-        ), "yuv420 pipeline needs even camera sizes"
+    assert frame_format in ("yuv420p", "nv12")
     W, H = mt.out_size
     ncam = len(mt.inputs)
     nov = len(mt.overlay_inputs)
     ntotal = ncam + nov
-    sizes = set(tuple(s) for s in in_sizes)
-    assert len(sizes) == 1, "sharded path requires equal camera sizes"
-    Hf, Wf = in_sizes[0]
+    # in_sizes may cover cameras only; overlays default to the first size
+    in_sizes = [tuple(s) for s in in_sizes]
+    if len(in_sizes) == ncam and nov:
+        in_sizes = in_sizes + [in_sizes[0]] * nov
+    assert len(in_sizes) == ntotal
+    if pipeline == "yuv420":
+        assert all(
+            h % 2 == 0 and w % 2 == 0 for h, w in in_sizes
+        ), "yuv420 pipeline needs even camera sizes"
+    out_size = tuple(scale_output) if scale_output else (W, H)
+    if pipeline == "yuv420" or frame_format == "nv12":
+        assert out_size[0] % 2 == 0 and out_size[1] % 2 == 0
+    # mixed camera sizes: one batched kernel per equal-size group (the
+    # single-chip Mapper's per-size-group design, stitch/mapper.py)
+    by_size = {}
+    for idx, hw in enumerate(in_sizes):
+        by_size.setdefault(hw, []).append(idx)
+    group_idx = tuple(tuple(v) for v in by_size.values())
 
     if blend > 0:
         B = int(math.ceil(math.log(blend) / math.log(2.0)) - 1.0)
@@ -361,6 +434,34 @@ def build_sharded_plan(
     bh = Hp // n_space
     halo = 5 * step if kind == "multiband" else 8
     halo = _round_up(halo, ralign)
+    ow, oh = out_size
+    obh = bh
+    if out_size != (W, H):
+        # each shard emits its own output-row slice; its vertical taps
+        # (INTER_LINEAR: ys = (yo+0.5)*H/oh - 0.5, clamped) must stay
+        # inside the extended band, so grow the halo to cover the
+        # worst-case overshoot past the band interior
+        obh = _round_up(oh, n_space * 2) // n_space
+        need = 0
+        for s in range(n_space):
+            for src_h, dst_h, b_l in (
+                (H, oh, bh),
+                (H // 2, oh // 2, bh // 2),
+            ):
+                nrows = obh if src_h == H else obh // 2
+                yo = s * nrows + np.arange(nrows)
+                ys = (yo + 0.5) * (src_h / dst_h) - 0.5
+                y0 = np.clip(np.floor(ys), 0, src_h - 1).astype(np.int64)
+                y1 = np.minimum(y0 + 1, src_h - 1)
+                top = s * b_l
+                scale_up = 1 if src_h == H else 2
+                need = max(
+                    need,
+                    (top - int(y0.min())) * scale_up,
+                    (int(y1.max()) - (top + b_l - 1)) * scale_up,
+                )
+        if n_space > 1 and need > 0:
+            halo = max(halo, _round_up(need, ralign))
     if n_space == 1:
         halo = 0  # no neighbor bands: halo rows would be pure padding
     ext = bh + 2 * halo
@@ -376,6 +477,44 @@ def build_sharded_plan(
     # the blend weights (blenders.cpp:625-640); feather weights live
     # strictly inside the mask, overlays are plain pastes -> no gap.
     gap = 5 * step if kind == "multiband" else 0
+    # canvas-union aligned bounds: the single-chip blend clips every
+    # per-input aligned ROI to this box (blenders.py
+    # build_multiband_plan; blenders.cpp:594-640), so its reflect-101
+    # pyramid boundary sits at the union edge — equivalently, the
+    # single-chip blend equals blending on the INFINITE reflect-101
+    # extension about these edges (the dyadic pyramid commutes with
+    # reflect-101 at step-aligned anchors).  The sharded constants
+    # (maps, seam pyramids, normalizers) are reflect-extended about the
+    # same edges below, so edge-band halos see the same extension
+    # instead of zeros.
+    if kind == "multiband" and ncam:
+        arx = _round_down(min(i.roi[0] for i in mt.inputs), step)
+        ary = _round_down(min(i.roi[1] for i in mt.inputs), step)
+        arx1 = _round_up(
+            max(i.roi[0] + i.roi[2] for i in mt.inputs), step
+        )
+        ary1 = _round_up(
+            max(i.roi[1] + i.roi[3] for i in mt.inputs), step
+        )
+    else:
+        arx, ary, arx1, ary1 = 0, 0, Wp, Hp
+
+    def _refl_idx(n, lo, hi, start=0):
+        """Gather indices [start, start+n) reflect-101-mapped into
+        [lo, hi) (single bounce; clipped for degenerate spans)."""
+        idx = np.arange(start, start + n)
+        r = np.where(idx < lo, 2 * lo - idx, idx)
+        r = np.where(r > hi - 1, 2 * (hi - 1) - r, r)
+        return np.clip(r, lo, hi - 1)
+
+    def _refl_fill(a, lo_y, hi_y, lo_x, hi_x):
+        """In-array reflect-101 fill of rows/cols outside the union box
+        (values there equal the infinite extension's)."""
+        a = a[np.clip(_refl_idx(a.shape[0], lo_y, hi_y), 0, a.shape[0] - 1)]
+        return a[
+            :, np.clip(_refl_idx(a.shape[1], lo_x, hi_x), 0, a.shape[1] - 1)
+        ]
+
     rois = []
     oy_table = np.zeros((S, ntotal), dtype=np.int32)
     oy_static = []
@@ -403,40 +542,76 @@ def build_sharded_plan(
             oys[0] if all(o == oys[0] for o in oys) else None
         )
 
-    def band_slice(arr, s, level=0, pad_value=0.0):
+    def band_slice(arr, s, level=0, pad_value=0.0, reflect=False):
         """Rows of the extended band s from a full padded array at pyramid
-        level ``level`` (``pad_value``-padded outside the canvas)."""
+        level ``level``.  ``reflect=True``: rows outside the union box
+        come from its reflect-101 extension (multiband constants);
+        otherwise ``pad_value``-padded outside the canvas."""
         h_l = halo >> level
         bh_l = bh >> level
         top = s * bh_l - h_l
+        n = bh_l + 2 * h_l
+        if reflect:
+            r = _refl_idx(n, ary >> level, ary1 >> level, start=top)
+            return arr[np.clip(r, 0, arr.shape[0] - 1)]
         pad = np.full((h_l,) + arr.shape[1:], pad_value, dtype=arr.dtype)
         big = np.concatenate([pad, arr, pad], axis=0)
         return big[top + h_l : top + h_l + bh_l + 2 * h_l]
 
-    def wslice(arr, s, idx, level=0, pad_value=0.0):
+    def wslice(arr, s, idx, level=0, pad_value=0.0, reflect=False):
         """Input ``idx``'s window of band ``s`` at pyramid ``level``."""
         x0, iw, hmax = rois[idx]
-        b = band_slice(arr, s, level=level, pad_value=pad_value)
+        b = band_slice(
+            arr, s, level=level, pad_value=pad_value, reflect=reflect
+        )
         o = int(oy_table[s, idx]) >> level
         return b[
             o : o + (hmax >> level), (x0 >> level) : ((x0 + iw) >> level)
         ]
 
     # ---- batched Pallas remap plans over window map slices, one per
-    # shard, homogenized; kernel output is window-sized directly
+    # shard, homogenized; kernel output is window-sized directly.
+    # Multiband camera maps are reflect-extended about the union box:
+    # reflecting MAP values reproduces the warped-image reflection the
+    # single-chip pyramid applies at its aligned-ROI boundary exactly
+    # (warped[r] = f(map[r]) pointwise).  Overlays are pastes — no
+    # reflection.
+    if kind == "multiband":
+        maps = [
+            (
+                (
+                    _refl_fill(m1, ary, ary1, arx, arx1),
+                    _refl_fill(m2, ary, ary1, arx, arx1),
+                )
+                if i < ncam
+                else (m1, m2)
+            )
+            for i, (m1, m2) in enumerate(maps)
+        ]
+
+    def _cam_refl(i):
+        return kind == "multiband" and i < ncam
+
     band_maps = [
         [
             (
-                wslice(m1, s, i, pad_value=-1.0),
-                wslice(m2, s, i, pad_value=-1.0),
+                wslice(m1, s, i, pad_value=-1.0, reflect=_cam_refl(i)),
+                wslice(m2, s, i, pad_value=-1.0, reflect=_cam_refl(i)),
             )
             for i, (m1, m2) in enumerate(maps)
         ]
         for s in range(S)
     ]
-    remap = _homogenized_band_remap(
-        band_maps, Hf, Wf, paired=(pipeline == "yuv420")
+    remap_groups = tuple(
+        _homogenized_band_remap(
+            [[band_maps[s][i] for i in idxs] for s in range(S)],
+            in_sizes[idxs[0]][0],
+            in_sizes[idxs[0]][1],
+            paired=(pipeline == "yuv420"),
+        )
+        for idxs in group_idx
     )
+    remap = remap_groups[0] if len(group_idx) == 1 else None
 
     B_uv = max(1, B - 1) if kind == "multiband" else 0
     plan = ShardedPlan(
@@ -456,7 +631,13 @@ def build_sharded_plan(
         N=(),
         pairs=(),
         remap=remap,
+        remap_groups=remap_groups,
+        group_idx=group_idx,
         pipeline=pipeline,
+        frame_format=frame_format,
+        out_size=out_size,
+        obh=obh,
+        oW=(ow if out_size != (W, H) else Wp),
         ralign=ralign,
         ghalo=ghalo,
         rois=tuple(rois),
@@ -467,17 +648,25 @@ def build_sharded_plan(
     bh2, halo2 = bh // 2, halo // 2
     ext2 = ext // 2
 
-    def bs_uv(arr, s, level=0, pad_value=0.0):
+    def bs_uv(arr, s, level=0, pad_value=0.0, reflect=False):
         h_l = halo2 >> level
         bh_l = bh2 >> level
         top = s * bh_l - h_l
+        n = bh_l + 2 * h_l
+        if reflect:
+            r = _refl_idx(
+                n, (ary // 2) >> level, (ary1 // 2) >> level, start=top
+            )
+            return arr[np.clip(r, 0, arr.shape[0] - 1)]
         pad = np.full((h_l,) + arr.shape[1:], pad_value, dtype=arr.dtype)
         big = np.concatenate([pad, arr, pad], axis=0)
         return big[top + h_l : top + h_l + bh_l + 2 * h_l]
 
-    def wslice_uv(arr, s, idx, level=0, pad_value=0.0):
+    def wslice_uv(arr, s, idx, level=0, pad_value=0.0, reflect=False):
         x0, iw, hmax = rois[idx]
-        b = bs_uv(arr, s, level=level, pad_value=pad_value)
+        b = bs_uv(
+            arr, s, level=level, pad_value=pad_value, reflect=reflect
+        )
         o = (int(oy_table[s, idx]) // 2) >> level
         return b[
             o : o + ((hmax // 2) >> level),
@@ -493,19 +682,43 @@ def build_sharded_plan(
         assert bh % 2 == 0 and halo % 2 == 0 and Wp % 2 == 0
         full_roi = (0, 0, Wp, Hp)
         maps_uv = [_half_maps(m1, m2, full_roi)[:2] for (m1, m2) in maps]
+        if kind == "multiband":
+            maps_uv = [
+                (
+                    (
+                        _refl_fill(
+                            m1, ary // 2, ary1 // 2, arx // 2, arx1 // 2
+                        ),
+                        _refl_fill(
+                            m2, ary // 2, ary1 // 2, arx // 2, arx1 // 2
+                        ),
+                    )
+                    if i < ncam
+                    else (m1, m2)
+                )
+                for i, (m1, m2) in enumerate(maps_uv)
+            ]
         band_maps_uv = [
             [
                 (
-                    wslice_uv(m1, s, i, pad_value=-1.0),
-                    wslice_uv(m2, s, i, pad_value=-1.0),
+                    wslice_uv(m1, s, i, pad_value=-1.0, reflect=_cam_refl(i)),
+                    wslice_uv(m2, s, i, pad_value=-1.0, reflect=_cam_refl(i)),
                 )
                 for i, (m1, m2) in enumerate(maps_uv)
             ]
             for s in range(S)
         ]
-        plan.remap_uv = _homogenized_band_remap(
-            band_maps_uv, Hf // 2, Wf // 2, paired=True
+        plan.remap_uv_groups = tuple(
+            _homogenized_band_remap(
+                [[band_maps_uv[s][i] for i in idxs] for s in range(S)],
+                in_sizes[idxs[0]][0] // 2,
+                in_sizes[idxs[0]][1] // 2,
+                paired=True,
+            )
+            for idxs in group_idx
         )
+        if len(group_idx) == 1:
+            plan.remap_uv = plan.remap_uv_groups[0]
 
     # ---- full-canvas masks (u8) per input
     full_masks = []
@@ -550,11 +763,24 @@ def build_sharded_plan(
             fs[y : y + h_, x : x + w_] = sm.astype(np.float32) / 255.0
             full_seams.append(fs)
 
-        pyrs = []  # [ncam][level] full-canvas weight pyramids
+        # full-canvas weight pyramids, reflect-filled about the union
+        # box at EVERY level before the next downsample — each stored
+        # level then equals the infinite reflect-101 extension's values
+        # (what the single-chip per-input pyramid computes at its
+        # aligned-ROI boundary)
+        pyrs = []  # [ncam][level]
         for fs in full_seams:
-            pyr = [fs]
-            for _ in range(B):
-                pyr.append(np_pyr_down(pyr[-1]))
+            pyr = [_refl_fill(fs, ary, ary1, arx, arx1)]
+            for l in range(B):
+                nxt = np_pyr_down(pyr[-1])
+                nxt = _refl_fill(
+                    nxt,
+                    ary >> (l + 1),
+                    ary1 >> (l + 1),
+                    arx >> (l + 1),
+                    arx1 >> (l + 1),
+                )
+                pyr.append(nxt)
             pyrs.append(pyr)
         bw = [
             np.sum([p[l] for p in pyrs], axis=0) + WEIGHT_EPS
@@ -563,13 +789,23 @@ def build_sharded_plan(
         # nested [level][input] -> [S, hmax_i>>l, iw_i>>l]
         plan.weight_pyrs = [
             [
-                np.stack([wslice(p[l], s, i, level=l) for s in range(S)])
+                np.stack(
+                    [
+                        wslice(p[l], s, i, level=l, reflect=True)
+                        for s in range(S)
+                    ]
+                )
                 for i, p in enumerate(pyrs)
             ]
             for l in range(B + 1)
         ]
         plan.inv_band_weights = [
-            np.stack([band_slice(bw[l], s, level=l) for s in range(S)])
+            np.stack(
+                [
+                    band_slice(bw[l], s, level=l, reflect=True)
+                    for s in range(S)
+                ]
+            )
             for l in range(B + 1)
         ]
         for l in range(B + 1):
@@ -613,9 +849,21 @@ def build_sharded_plan(
             # (same spatial blur extent; halo/2 keeps level alignment)
             pyrs_uv = []
             for fs in full_seams:
-                pyr = [h2(fs)]
-                for _ in range(B_uv):
-                    pyr.append(np_pyr_down(pyr[-1]))
+                pyr = [
+                    _refl_fill(
+                        h2(fs), ary // 2, ary1 // 2, arx // 2, arx1 // 2
+                    )
+                ]
+                for l in range(B_uv):
+                    nxt = np_pyr_down(pyr[-1])
+                    nxt = _refl_fill(
+                        nxt,
+                        (ary // 2) >> (l + 1),
+                        (ary1 // 2) >> (l + 1),
+                        (arx // 2) >> (l + 1),
+                        (arx1 // 2) >> (l + 1),
+                    )
+                    pyr.append(nxt)
                 pyrs_uv.append(pyr)
             bw_uv = [
                 np.sum([p[l] for p in pyrs_uv], axis=0) + WEIGHT_EPS
@@ -624,14 +872,22 @@ def build_sharded_plan(
             plan.weight_pyrs_uv = [
                 [
                     np.stack(
-                        [wslice_uv(p[l], s, i, level=l) for s in range(S)]
+                        [
+                            wslice_uv(p[l], s, i, level=l, reflect=True)
+                            for s in range(S)
+                        ]
                     )
                     for i, p in enumerate(pyrs_uv)
                 ]
                 for l in range(B_uv + 1)
             ]
             plan.inv_band_weights_uv = [
-                np.stack([bs_uv(bw_uv[l], s, level=l) for s in range(S)])
+                np.stack(
+                    [
+                        bs_uv(bw_uv[l], s, level=l, reflect=True)
+                        for s in range(S)
+                    ]
+                )
                 for l in range(B_uv + 1)
             ]
             for l in range(B_uv + 1):
@@ -710,7 +966,22 @@ def build_sharded_plan(
         plan.gain_b = (BETA * N.sum(axis=1)).astype(np.float32)
         plan.gain_A_static = np.diag(BETA * N.sum(axis=1)).astype(np.float32)
 
-    # ---- overlay paste masks (interior rows only)
+        if enable_gain == "blocks":
+            # BlocksGainCompensator lattice (exposure_compensate.cpp:
+            # 330-438) on the SAME working grid as the single-chip
+            # Mapper: cover/counts replicated, per-shard partial block
+            # sums psum'd at solve time (_solve_band_block_lattice)
+            ws_w, ws_h = -(-W // stride), -(-H // stride)
+            masks_ws = [
+                (wk[:ws_h, :ws_w]).astype(np.uint8) * 255 for wk in work
+            ]
+            plan.gain_blocks = build_blocks_gain_plan(
+                masks_ws, [(0, 0, ws_w, ws_h)] * ncam, (ws_w, ws_h)
+            )
+
+    # ---- overlay paste masks (extended-band rows: halo rows feed the
+    # output resize taps, and interiors are disjoint so the duplicate
+    # halo work is consistent across shards)
     if nov:
         oms = []
         for inp in mt.overlay_inputs:
@@ -720,7 +991,7 @@ def build_sharded_plan(
             oms.append(fm)
         plan.overlay_masks = np.stack(
             [
-                np.stack([band_slice(om, s)[halo : halo + bh] for om in oms])
+                np.stack([band_slice(om, s) for om in oms])
                 for s in range(S)
             ]
         )
@@ -728,36 +999,99 @@ def build_sharded_plan(
             oms_uv = [(h2(om) > 0).astype(np.float32) for om in oms]
             plan.overlay_masks_uv = np.stack(
                 [
-                    np.stack(
-                        [bs_uv(om, s)[halo2 : halo2 + bh2] for om in oms_uv]
-                    )
+                    np.stack([bs_uv(om, s) for om in oms_uv])
                     for s in range(S)
                 ]
             )
 
-    # ---- vignette (replicated; ones where unused)
+    # ---- union-box clamps (only when the camera union leaves canvas
+    # rows/cols uncovered — reflect-extended constants must not leak
+    # into areas the single chip leaves black)
+    if kind == "multiband" and (
+        arx > 0 or ary > 0 or arx1 < W or ary1 < H
+    ):
+        rows = np.zeros((S, ext), dtype=np.float32)
+        rows_uv = np.zeros((S, ext2), dtype=np.float32)
+        for s in range(S):
+            r = s * bh - halo + np.arange(ext)
+            rows[s] = ((r >= ary) & (r < ary1)).astype(np.float32)
+            r2 = s * bh2 - halo2 + np.arange(ext2)
+            rows_uv[s] = (
+                (r2 >= ary // 2) & (r2 < ary1 // 2)
+            ).astype(np.float32)
+        plan.union_row_mask = rows
+        plan.union_row_mask_uv = rows_uv
+        c = np.arange(Wp)
+        plan.union_col_mask = ((c >= arx) & (c < arx1)).astype(np.float32)
+        c2 = np.arange(Wp // 2)
+        plan.union_col_mask_uv = (
+            (c2 >= arx // 2) & (c2 < arx1 // 2)
+        ).astype(np.float32)
+
+    # ---- vignette (replicated; ones where unused; per-input sizes)
     vigs = []
-    for inp in mt.inputs + mt.overlay_inputs:
+    for idx, inp in enumerate(mt.inputs + mt.overlay_inputs):
+        Hi, Wi = in_sizes[idx]
         if inp.vignette is not None:
             vigs.append(
-                np.asarray(resize_bilinear(inp.vignette, Hf, Wf)).astype(
+                np.asarray(resize_bilinear(inp.vignette, Hi, Wi)).astype(
                     np.float32
                 )
             )
         else:
-            vigs.append(np.ones((Hf, Wf), dtype=np.float32))
-    plan.vignette = np.stack(vigs)
+            vigs.append(np.ones((Hi, Wi), dtype=np.float32))
+    plan.vignette = vigs
     if pipeline == "yuv420":
-        plan.vignette_half = np.stack(
-            [
-                v.reshape(Hf // 2, 2, Wf // 2, 2)
-                .mean(axis=(1, 3))
-                .astype(np.float32)
-                for v in vigs
-            ]
-        )
-    plan.chroma_up = up_cols_matrix(Wf // 2)
-    plan.chroma_down = down_cols_matrix(Wp)
+        plan.vignette_half = [
+            v.reshape(v.shape[0] // 2, 2, v.shape[1] // 2, 2)
+            .mean(axis=(1, 3))
+            .astype(np.float32)
+            for v in vigs
+        ]
+    plan.chroma_up = {
+        Wi: up_cols_matrix(Wi // 2) for (Hi, Wi) in set(in_sizes)
+    }
+    plan.chroma_down = down_cols_matrix(ow if out_size != (W, H) else Wp)
+
+    # ---- output-resize gather tables (INTER_LINEAR, ops/resize.py
+    # semantics); row indices are band-local per shard
+    if out_size != (W, H):
+
+        def vtab(src_h, dst_h, nrows, b_l, h_l):
+            y0t = np.zeros((S, nrows), np.int32)
+            y1t = np.zeros((S, nrows), np.int32)
+            fyt = np.zeros((S, nrows), np.float32)
+            for s in range(S):
+                yo = s * nrows + np.arange(nrows)
+                ys = (yo + 0.5) * (src_h / dst_h) - 0.5
+                y0 = np.clip(np.floor(ys), 0, src_h - 1).astype(np.int64)
+                y1 = np.minimum(y0 + 1, src_h - 1)
+                fy = np.clip(ys - y0, 0.0, 1.0)
+                top = s * b_l - h_l
+                assert (
+                    y0.min() - top >= 0 and y1.max() - top < b_l + 2 * h_l
+                ), "scale_output vertical taps escape the extended band"
+                y0t[s], y1t[s], fyt[s] = y0 - top, y1 - top, fy
+            return dict(y0=y0t, y1=y1t, fy=fyt)
+
+        def htab(src_w, dst_w):
+            xs = (np.arange(dst_w) + 0.5) * (src_w / dst_w) - 0.5
+            x0 = np.clip(np.floor(xs), 0, src_w - 1).astype(np.int64)
+            x1 = np.minimum(x0 + 1, src_w - 1)
+            fx = np.clip(xs - x0, 0.0, 1.0)
+            return dict(
+                x0=x0.astype(np.int32),
+                x1=x1.astype(np.int32),
+                fx=fx.astype(np.float32),
+            )
+
+        plan.resize_v = vtab(H, oh, obh, bh, halo)
+        plan.resize_h = htab(W, ow)
+        if pipeline == "yuv420":
+            plan.resize_v_uv = vtab(
+                H // 2, oh // 2, obh // 2, bh // 2, halo // 2
+            )
+            plan.resize_h_uv = htab(W // 2, ow // 2)
     if stride > 1:
         from ..stitch.mapper import _pool_cols_matrix
 
@@ -886,6 +1220,100 @@ def _solve_band_gains(plan: ShardedPlan, norms):
     return jnp.linalg.solve(A, plan.gain_b)
 
 
+def _solve_band_block_lattice(plan: ShardedPlan, norms):
+    """Blocks-gain lattice from band-sliced working norms: each shard
+    pastes its band-interior norm rows into the (tiny, ~0.1 MP) working
+    canvas, computes partial per-block pair sums, and a psum over
+    'space' makes every shard solve the identical global lattice —
+    BlocksGainCompensator semantics (exposure_compensate.cpp:330-438)
+    with the only cross-chip traffic one [B, n, n] reduction."""
+    gbp = plan.gain_blocks
+    n = gbp.num_images
+    Hc, Wc = gbp.canvas
+    st = plan.stride
+    gh = plan.bh // st
+    gw = plan.Wp // st
+    block, nby, nbx = gbp.block, gbp.nby, gbp.nbx
+    Bb = nby * nbx
+    Hbuf = max(Hc, plan.S * gh)
+    row0 = jax.lax.axis_index("space") * gh
+
+    canvas_norm = jnp.zeros((n, Hbuf, Wc), jnp.float32)
+    for i, nm in enumerate(norms):
+        nmw = (
+            nm[:, :Wc]
+            if gw >= Wc
+            else jnp.pad(nm, ((0, 0), (0, Wc - gw)))
+        )
+        canvas_norm = jax.lax.dynamic_update_slice(
+            canvas_norm, nmw[None], (i, row0, 0)
+        )
+    cover = jnp.asarray(gbp.cover)
+    canvas_norm = canvas_norm[:, :Hc] * cover
+
+    def block_sum(a):
+        return a.reshape(nby, block, nbx, block).sum(axis=(1, 3))
+
+    I = jnp.zeros((Bb, n, n), dtype=jnp.float32)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            s_ = block_sum(canvas_norm[i] * cover[j]).reshape(Bb)
+            I = I.at[:, i, j].set(s_)
+    I = jax.lax.psum(I, "space") / jnp.asarray(gbp.N)
+    return assemble_and_solve_lattice(gbp, I)
+
+
+def _sample_lattice_window(plan: ShardedPlan, lattice, i, div=1):
+    """Bilinear sample of the block gain lattice over input i's window
+    (gain_blocks.sample_block_lattice with a traced per-shard row
+    offset).  div=1 samples the luma/rgb grid, div=2 the half-res
+    chroma grid (chroma px = 2 luma px, so the lattice scale doubles)."""
+    gbp = plan.gain_blocks
+    x0, iw, hmax = plan.rois[i]
+    oy = _win_oy(plan, i, div=div)
+    row_top = (
+        jax.lax.axis_index("space") * (plan.bh // div)
+        - plan.halo // div
+        + oy
+    )
+    block, nby, nbx = gbp.block, gbp.nby, gbp.nbx
+    scale = div / plan.stride
+    h, w = hmax // div, iw // div
+    ys = ((row_top + jnp.arange(h) + 0.5) * scale) / block - 0.5
+    xs = ((x0 // div + jnp.arange(w) + 0.5) * scale) / block - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, nby - 1)
+    x0i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, nbx - 1)
+    y1 = jnp.minimum(y0 + 1, nby - 1)
+    x1i = jnp.minimum(x0i + 1, nbx - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(xs - x0i, 0.0, 1.0)[None, :]
+    g = lattice[..., i]
+    top = g[y0][:, x0i] * (1 - fx) + g[y0][:, x1i] * fx
+    bot = g[y1][:, x0i] * (1 - fx) + g[y1][:, x1i] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _resize_band(band, vt, ht):
+    """Per-shard bilinear output resize of one extended band [c, ext_v,
+    W_v] -> [c, obh_v, ow_v]: band-local row taps (per-shard tables) +
+    replicated column taps; INTER_LINEAR semantics (ops/resize.py,
+    mapper.cpp:285-311)."""
+    y0, y1, fy = vt["y0"], vt["y1"], vt["fy"]
+    x0, x1, fx = ht["x0"], ht["x1"], ht["fx"]
+    work = band.astype(jnp.float32)
+    fy_ = fy[None, :, None]
+    fx_ = fx[None, None, :]
+    r0 = work[:, y0][:, :, x0]
+    r1 = work[:, y0][:, :, x1]
+    r2 = work[:, y1][:, :, x0]
+    r3 = work[:, y1][:, :, x1]
+    top = r0 * (1 - fx_) + r1 * fx_
+    bot = r2 * (1 - fx_) + r3 * fx_
+    return top * (1 - fy_) + bot * fy_
+
+
 def _blend_windows(
     plan, imgs, wins, weight_pyrs, inv_bw, feather_w, B, ext_v, W_v
 ):
@@ -962,24 +1390,26 @@ def _blend_windows(
     return band / jnp.maximum(total, 1.0)
 
 
-def _overlay_interior(plan, ov_window, k, halo_v, bh_v, ext_v, W_v, div=1):
-    """Overlay k's window pasted onto a zero band, interior rows."""
+def _overlay_band(plan, ov_window, k, ext_v, W_v, div=1):
+    """Overlay k's window pasted onto a zero extended band (halo rows
+    included: they feed the output-resize taps, and interiors are
+    disjoint so the duplicated halo work agrees across shards)."""
     x0, iw, hmax = plan.rois[plan.num_inputs + k]
     c = ov_window.shape[0]
     buf = jnp.zeros((c, ext_v, W_v), dtype=ov_window.dtype)
-    buf = _paste_add(
+    return _paste_add(
         buf, ov_window, _win_oy(plan, plan.num_inputs + k, div=div), x0 // div
     )
-    return buf[:, halo_v : halo_v + bh_v]
 
 
 def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
-    """One frame set on one shard.  frames: [ncam+nov, Hf*3/2, Wf] u8.
-    Returns (band output, gains):
+    """One frame set on one shard.  frames: per-input list of
+    [Hi*3/2, Wi] u8 (packed YUV420P, or NV12 when
+    plan.frame_format == "nv12").  Returns (band output, gains):
 
-    * ``out_format="yuv420p"``: packed YUV420P of the band interior,
-      u8 [bh*3/2, Wp]
-    * ``out_format="rgb"``: f32 [3, bh, Wp]
+    * ``out_format="yuv420p"``: packed band output, u8 [obh*3/2, oW]
+      (YUV420P, or NV12 when frame_format == "nv12")
+    * ``out_format="rgb"``: f32 [3, obh, oW]
     """
     ncam = plan.num_inputs
     ntotal = ncam + plan.num_overlays
@@ -987,7 +1417,12 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
 
     packed = []
     for i in range(ntotal):
-        rgb = yuv420p_to_rgb_planar(frames[i], up_cols=plan.chroma_up)
+        buf = frames[i]
+        if plan.frame_format == "nv12":
+            buf = merge_yuv420p(*split_nv12(buf))
+        rgb = yuv420p_to_rgb_planar(
+            buf, up_cols=plan.chroma_up[buf.shape[1]]
+        )
         rgb = jnp.clip(rgb * plan.vignette[i][None], 0.0, 255.0)
         packed.append(pack_rgb(rgb).reshape(rgb.shape[1], rgb.shape[2]))
 
@@ -996,19 +1431,25 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     remap_dtype = (
         plan.compute_dtype if plan.blend_kind == "multiband" else "float32"
     )
-    warped = list(
-        pallas_remap_apply_batched(
-            jnp.stack(packed),
-            plan.remap,
+    # one batched kernel launch per equal-size camera group
+    warped = [None] * ntotal
+    for idxs, rp in zip(plan.group_idx, plan.remap_groups):
+        outs = pallas_remap_apply_batched(
+            jnp.stack([packed[i] for i in idxs]),
+            rp,
             interpret=interpret,
             out_dtype=remap_dtype,
         )
-    )  # per input [3, hmax_i, iw_i] (window-sized)
+        for i, o in zip(idxs, outs):
+            warped[i] = o  # [3, hmax_i, iw_i] (window-sized)
 
     # exposure gains: working-grid box means (identical global block
     # grid to the single-chip Mapper), psum'd across 'space'
     gains = jnp.ones((ncam,), dtype=jnp.float32)
-    if plan.gm_i is not None and plan.pairs:
+    need_norms = (plan.gm_i is not None and plan.pairs) or (
+        plan.gain_blocks is not None
+    )
+    if need_norms:
         norms = [
             _window_norm_grid(
                 plan,
@@ -1018,6 +1459,16 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
             )
             for i in range(ncam)
         ]
+    if plan.gain_blocks is not None:
+        lattice = _solve_band_block_lattice(plan, norms)
+        warped[:ncam] = [
+            wd
+            * _sample_lattice_window(plan, lattice, i)[None].astype(
+                wd.dtype
+            )
+            for i, wd in enumerate(warped[:ncam])
+        ]
+    elif plan.gm_i is not None and plan.pairs:
         gains = _solve_band_gains(plan, norms)
         # cast the scalar, not the image: f32*bf16 would promote the
         # whole warped image back to f32
@@ -1040,34 +1491,43 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         ext,
         Wp,
     )
+    band = band.astype(jnp.float32)
+    if plan.union_row_mask is not None:
+        band = (
+            band
+            * plan.union_row_mask[None, :, None]
+            * plan.union_col_mask[None, None, :]
+        )
 
-    interior = band[:, halo : halo + bh].astype(jnp.float32)
-
-    # overlay paste (mapper.cpp:279-282 semantics)
+    # overlay paste (mapper.cpp:279-282 semantics), extended-band rows
     for k in range(plan.num_overlays):
-        ov = _overlay_interior(
-            plan,
-            warped[ncam + k].astype(jnp.float32),
-            k,
-            halo,
-            bh,
-            ext,
-            Wp,
+        ov = _overlay_band(
+            plan, warped[ncam + k].astype(jnp.float32), k, ext, Wp
         )
         m = plan.overlay_masks[k][None]
-        interior = interior * (1.0 - m) + ov * m
+        band = band * (1.0 - m) + ov * m
 
-    interior = jnp.clip(interior, 0.0, 255.0)
+    band = jnp.clip(band, 0.0, 255.0)
+    if plan.resize_v is not None:
+        # output resize (mapper.cpp:285-311): each shard emits its own
+        # output-row slice from its extended rows
+        out_img = _resize_band(band, plan.resize_v, plan.resize_h)
+    else:
+        out_img = band[:, halo : halo + bh]
     if out_format == "rgb":
-        return interior, gains
-    return rgb_planar_to_yuv420p(interior, down_cols=plan.chroma_down), gains
+        return out_img, gains
+    out = rgb_planar_to_yuv420p(out_img, down_cols=plan.chroma_down)
+    if plan.frame_format == "nv12":
+        out = merge_nv12(*split_yuv420p(out))
+    return out, gains
 
 
 def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
     """YUV420-native band stitch (see stitch/yuv_mode.py): pair-packed
     1-channel Y fan at full band resolution + 2-channel chroma fan at
     half resolution, per-plane window blends, centered chroma, packed
-    YUV420P band output."""
+    YUV420P (or NV12) band output.  frames: per-input list of
+    [Hi*3/2, Wi] u8."""
     assert out_format == "yuv420p"
     ncam = plan.num_inputs
     ntotal = ncam + plan.num_overlays
@@ -1080,7 +1540,10 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
     )
     packs_y, packs_uv = [], []
     for i in range(ntotal):
-        y, u, v = split_yuv420p(frames[i])
+        if plan.frame_format == "nv12":
+            y, u, v = split_nv12(frames[i])
+        else:
+            y, u, v = split_yuv420p(frames[i])
         yf = jnp.clip(y.astype(jnp.float32) * plan.vignette[i], 0.0, 255.0)
         vh = plan.vignette_half[i]
         uf = jnp.clip((u.astype(jnp.float32) - 128.0) * vh + 128.0, 0.0, 255.0)
@@ -1091,38 +1554,58 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         packs_y.append(pack_pairs([yq]))
         packs_uv.append(pack_pairs([uq, vq]))
 
-    warped_y = list(
-        pallas_remap_apply_batched(
-            jnp.stack(packs_y),
-            plan.remap,
+    # one batched kernel launch per plane per equal-size camera group
+    warped_y = [None] * ntotal
+    warped_uv = [None] * ntotal
+    for idxs, rp_y, rp_uv in zip(
+        plan.group_idx, plan.remap_groups, plan.remap_uv_groups
+    ):
+        outs_y = pallas_remap_apply_batched(
+            jnp.stack([packs_y[i] for i in idxs]),
+            rp_y,
             interpret=interpret,
             out_dtype=remap_dtype,
             nc=1,
             paired=True,
-        )
-    )  # per input [1, hmax_i, iw_i] (window-sized)
-    warped_uv = list(
-        pallas_remap_apply_batched(
-            jnp.stack(packs_uv),
-            plan.remap_uv,
+        )  # per input [1, hmax_i, iw_i] (window-sized)
+        outs_uv = pallas_remap_apply_batched(
+            jnp.stack([packs_uv[i] for i in idxs]),
+            rp_uv,
             interpret=interpret,
             out_dtype=remap_dtype,
             nc=2,
             paired=True,
-        )
-    )  # per input [2, hmax_i/2, iw_i/2]
+        )  # per input [2, hmax_i/2, iw_i/2]
+        for i, wy, wuv in zip(idxs, outs_y, outs_uv):
+            warped_y[i] = wy
+            warped_uv[i] = wuv
     # centered chroma: covered pixels carry (U-128, V-128); uncovered
     # stay 0 and become neutral 128 at the output stage
     warped_uv = [w - jnp.asarray(128.0, w.dtype) for w in warped_uv]
 
     gains = jnp.ones((ncam,), dtype=jnp.float32)
-    if plan.gm_i is not None and plan.pairs:
+    need_norms = (plan.gm_i is not None and plan.pairs) or (
+        plan.gain_blocks is not None
+    )
+    if need_norms:
         # exact elementNorm (gpu_mat.cu:444-485): RGB L2 norm from
         # pooled luma + pooled centered chroma on the working grid
         norms = [
             _window_norm_grid_yuv(plan, warped_y[i], warped_uv[i], i)
             for i in range(ncam)
         ]
+    if plan.gain_blocks is not None:
+        # one lattice solve, two sample grids: luma-grid maps and
+        # half-resolution chroma-grid maps (stitch/mapper.py:697-721)
+        lattice = _solve_band_block_lattice(plan, norms)
+        for i in range(ncam):
+            gy = _sample_lattice_window(plan, lattice, i)
+            guv = _sample_lattice_window(plan, lattice, i, div=2)
+            warped_y[i] = warped_y[i] * gy[None].astype(warped_y[i].dtype)
+            warped_uv[i] = warped_uv[i] * guv[None].astype(
+                warped_uv[i].dtype
+            )
+    elif plan.gm_i is not None and plan.pairs:
         gains = _solve_band_gains(plan, norms)
         warped_y[:ncam] = [
             w * gains[i].astype(w.dtype)
@@ -1167,38 +1650,61 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         Wp2,
     )
 
-    int_y = band_y[:, halo : halo + bh].astype(jnp.float32)
-    int_uv = band_uv[:, halo2 : halo2 + bh2].astype(jnp.float32)
+    band_yf = band_y.astype(jnp.float32)
+    band_uvf = band_uv.astype(jnp.float32)
+    if plan.union_row_mask is not None:
+        band_yf = (
+            band_yf
+            * plan.union_row_mask[None, :, None]
+            * plan.union_col_mask[None, None, :]
+        )
+        band_uvf = (
+            band_uvf
+            * plan.union_row_mask_uv[None, :, None]
+            * plan.union_col_mask_uv[None, None, :]
+        )
 
-    # overlay paste (mapper.cpp:279-282 semantics), Y and centered UV
+    # overlay paste (mapper.cpp:279-282 semantics), Y and centered UV,
+    # on the extended-band rows
     for k in range(plan.num_overlays):
-        ovy = _overlay_interior(
-            plan, warped_y[ncam + k].astype(jnp.float32), k, halo, bh,
-            ext, Wp,
+        ovy = _overlay_band(
+            plan, warped_y[ncam + k].astype(jnp.float32), k, ext, Wp
         )
         m = plan.overlay_masks[k][None]
-        int_y = int_y * (1.0 - m) + ovy * m
-        ovuv = _overlay_interior(
-            plan, warped_uv[ncam + k].astype(jnp.float32), k, halo2, bh2,
+        band_yf = band_yf * (1.0 - m) + ovy * m
+        ovuv = _overlay_band(
+            plan, warped_uv[ncam + k].astype(jnp.float32), k,
             ext // 2, Wp2, div=2,
         )
         m2 = plan.overlay_masks_uv[k][None]
-        int_uv = int_uv * (1.0 - m2) + ovuv * m2
+        band_uvf = band_uvf * (1.0 - m2) + ovuv * m2
 
-    y8 = jnp.clip(jnp.round(int_y[0]), 0, 255).astype(jnp.uint8)
-    u8 = jnp.clip(jnp.round(int_uv[0] + 128.0), 0, 255).astype(jnp.uint8)
-    v8 = jnp.clip(jnp.round(int_uv[1] + 128.0), 0, 255).astype(jnp.uint8)
-    from ..ops.color import merge_yuv420p
+    if plan.resize_v is not None:
+        # output resize in the native planes (mapper.cpp:285-311): Y at
+        # full res, chroma at half res, each from its extended band rows
+        out_y = _resize_band(band_yf, plan.resize_v, plan.resize_h)
+        out_uv = _resize_band(
+            band_uvf, plan.resize_v_uv, plan.resize_h_uv
+        )
+    else:
+        out_y = band_yf[:, halo : halo + bh]
+        out_uv = band_uvf[:, halo2 : halo2 + bh2]
 
+    y8 = jnp.clip(jnp.round(out_y[0]), 0, 255).astype(jnp.uint8)
+    u8 = jnp.clip(jnp.round(out_uv[0] + 128.0), 0, 255).astype(jnp.uint8)
+    v8 = jnp.clip(jnp.round(out_uv[1] + 128.0), 0, 255).astype(jnp.uint8)
+    if plan.frame_format == "nv12":
+        return merge_nv12(y8, u8, v8), gains
     return merge_yuv420p(y8, u8, v8), gains
 
 
 class ShardedMapper:
     """Stitch batches of frame sets over a ('data', 'space') mesh.
 
-    Same product as the single-chip ``Mapper``: Pallas batched remap
-    (interpret mode on CPU meshes), gains, multiband/feather blend,
-    overlays, YUV420P output."""
+    Same product as the single-chip ``Mapper`` (mapper.cpp:47-311
+    semantics): per-size-group batched Pallas remap (interpret mode on
+    CPU meshes), pairwise or blocks gains, multiband/feather blend,
+    overlays, scale_output resize, YUV420P or NV12 frames."""
 
     def __init__(
         self,
@@ -1210,20 +1716,25 @@ class ShardedMapper:
         out_format: str = "yuv420p",
         blend_dtype: str = "float32",
         pipeline: str = None,
+        scale_output=None,
+        frame_format: str = "yuv420p",
     ):
         assert out_format in ("yuv420p", "rgb")
+        W0, H0 = mt.out_size
+        osz = tuple(scale_output) if scale_output else (W0, H0)
         if pipeline is None:
             # production default: the YUV420-native paired-fan pipeline
             # whenever the output format and geometry allow it (VERDICT
-            # r2 item 2); rgb output or odd camera sizes fall back
+            # r2 item 2); rgb output or odd geometry falls back
             even = all(h % 2 == 0 and w % 2 == 0 for h, w in in_sizes)
-            W0, H0 = mt.out_size
             pipeline = (
                 "yuv420"
                 if out_format == "yuv420p"
                 and even
                 and W0 % 2 == 0
                 and H0 % 2 == 0
+                and osz[0] % 2 == 0
+                and osz[1] % 2 == 0
                 else "rgb"
             )
         assert pipeline == "rgb" or out_format == "yuv420p"
@@ -1238,6 +1749,8 @@ class ShardedMapper:
             enable_gain=enable_gain,
             blend_dtype=blend_dtype,
             pipeline=pipeline,
+            scale_output=scale_output,
+            frame_format=frame_format,
         )
         interpret = jax.devices()[0].platform != "tpu"
 
@@ -1269,14 +1782,9 @@ class ShardedMapper:
             else P("data", None, "space", None)
         )
 
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(plan_specs, P("data")),
-            out_specs=(out_spec, P("data", None)),
-            check_vma=False,
-        )
-        def step(plan_local, frames_local):
+        ntotal = self.plan.num_inputs + self.plan.num_overlays
+
+        def run_bands(plan_local, get_set, nb):
             # strip the local S axis (== 1) off space-sharded leaves only
             plan_sq = jax.tree.map(
                 lambda leaf, spec: leaf[0] if spec == P("space") else leaf,
@@ -1291,42 +1799,100 @@ class ShardedMapper:
                 else _stitch_band
             )
             outs, gains = [], []
-            for b in range(frames_local.shape[0]):
-                o, g = band_fn(
-                    plan_sq, frames_local[b], interpret, out_format
-                )
+            for b in range(nb):
+                o, g = band_fn(plan_sq, get_set(b), interpret, out_format)
                 outs.append(o)
                 gains.append(g)
             return jnp.stack(outs), jnp.stack(gains)
 
+        frame_specs = tuple(P("data") for _ in range(ntotal))
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(plan_specs, frame_specs),
+            out_specs=(out_spec, P("data", None)),
+            check_vma=False,
+        )
+        def step(plan_local, frames_local):
+            return run_bands(
+                plan_local,
+                lambda b: [f[b] for f in frames_local],
+                frames_local[0].shape[0],
+            )
+
         self._step = jax.jit(step)
 
-    def stitch_batch(self, frames):
-        """frames: [B, ncam(+nov), Hf*3/2, Wf] u8 (B divisible by mesh
-        'data').  Returns (out, gains):
+        # stacked-input variant (equal sizes): the multihost path feeds
+        # one global [B, ntotal, H*3/2, W] array built with
+        # make_array_from_process_local_data, which cannot be sliced
+        # per input outside jit
+        self._step_stacked = None
+        if len(self.plan.group_idx) == 1:
 
-        * yuv420p: u8 [B, S*bh*3/2, Wp] — per-band packed YUV420P
-          buffers stacked along rows, sharded (data, space); pass
-          through :meth:`assemble_yuv` for the canonical [H*3/2, W]
-          canvas.
-        * rgb: f32 [B, 3, Hp, Wp] sharded (data, space on H).
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(plan_specs, P("data")),
+                out_specs=(out_spec, P("data", None)),
+                check_vma=False,
+            )
+            def step_stacked(plan_local, frames_local):
+                return run_bands(
+                    plan_local,
+                    lambda b: [
+                        frames_local[b, i] for i in range(ntotal)
+                    ],
+                    frames_local.shape[0],
+                )
+
+            self._step_stacked = jax.jit(step_stacked)
+
+    def stitch_batch(self, frames):
+        """frames: per-input list of [B, Hi*3/2, Wi] u8 arrays (B
+        divisible by mesh 'data'), or a single stacked
+        [B, ncam(+nov), Hf*3/2, Wf] array when all sizes are equal.
+        Returns (out, gains):
+
+        * yuv420p: u8 [B, S*obh*3/2, oW] — per-band packed YUV420P (or
+          NV12) buffers stacked along rows, sharded (data, space); pass
+          through :meth:`assemble_yuv` for the canonical [oh*3/2, ow]
+          buffer.
+        * rgb: f32 [B, 3, S*obh, oW] sharded (data, space).
         """
-        return self._step(self._plan_dev, jnp.asarray(frames))
+        ntotal = self.plan.num_inputs + self.plan.num_overlays
+        if not isinstance(frames, (list, tuple)):
+            assert self._step_stacked is not None, (
+                "stacked input needs equal camera sizes; pass a "
+                "per-input list for mixed-size rigs"
+            )
+            return self._step_stacked(self._plan_dev, jnp.asarray(frames))
+        frames = tuple(jnp.asarray(f) for f in frames)
+        assert len(frames) == ntotal
+        return self._step(self._plan_dev, frames)
 
     def assemble_yuv(self, out_b):
-        """Reassemble one frame's per-band YUV420P stack
-        ([S*bh*3/2, Wp]) into the canonical packed [H*3/2, W] buffer."""
-        W, H = self.plan.canvas_size
-        S, bh, Wp = self.plan.S, self.plan.bh, self.plan.Wp
-        bands = np.asarray(out_b).reshape(S, bh * 3 // 2, Wp)
+        """Reassemble one frame's per-band YUV420P/NV12 stack
+        ([S*obh*3/2, oW]) into the canonical packed [oh*3/2, ow]
+        buffer (same frame format)."""
+        ow, oh = self.plan.out_size
+        S, obh, oW = self.plan.S, self.plan.obh, self.plan.oW
+        nv12 = self.plan.frame_format == "nv12"
+        bands = np.asarray(out_b).reshape(S, obh * 3 // 2, oW)
         ys, us, vs = [], [], []
         for s in range(S):
-            y, u, v = split_yuv420p(bands[s])
+            y, u, v = (split_nv12 if nv12 else split_yuv420p)(bands[s])
             ys.append(np.asarray(y))
             us.append(np.asarray(u))
             vs.append(np.asarray(v))
-        y = np.concatenate(ys)[:H, :W]
-        u = np.concatenate(us)[: H // 2, : W // 2]
-        v = np.concatenate(vs)[: H // 2, : W // 2]
+        y = np.concatenate(ys)[:oh, :ow]
+        u = np.concatenate(us)[: oh // 2, : ow // 2]
+        v = np.concatenate(vs)[: oh // 2, : ow // 2]
+        if nv12:
+            return np.asarray(
+                merge_nv12(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+                )
+            )
         bottom = np.concatenate([u, v], axis=1)
         return np.concatenate([y, bottom], axis=0)

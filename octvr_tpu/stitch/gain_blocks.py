@@ -24,6 +24,7 @@ __all__ = [
     "build_blocks_gain_plan",
     "solve_block_gains",
     "solve_block_lattice",
+    "assemble_and_solve_lattice",
     "sample_block_lattice",
 ]
 
@@ -139,6 +140,15 @@ def solve_block_lattice(plan: BlocksGainPlan, norm_images):
             s = block_sum(canvas_norm[i] * plan.cover[j]).reshape(B)
             I = I.at[:, i, j].set(s / plan.N[:, i, j])
 
+    return assemble_and_solve_lattice(plan, I)
+
+
+def assemble_and_solve_lattice(plan: BlocksGainPlan, I):
+    """Per-block BL07 system assembly + batched solve from the overlap
+    means I [B, n, n]; split out so the spatially-sharded path can psum
+    partial block sums into I first (parallel/sharded.py)."""
+    n = plan.num_images
+    nby, nbx = plan.nby, plan.nbx
     Nf = jnp.asarray(plan.N)
     off = 1.0 - jnp.eye(n, dtype=jnp.float32)[None]
     diag_dyn = jnp.sum(2.0 * ALPHA * I * I * Nf * off, axis=2)

@@ -16,6 +16,9 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow
 
 TOOL = os.path.join(
     os.path.dirname(__file__), "..", "tools", "multihost_stitch.py"

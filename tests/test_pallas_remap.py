@@ -5,6 +5,7 @@ negative map -> zero)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from octvr_tpu.ops.pallas_remap import (
     merge_remap_plans,
@@ -93,6 +94,7 @@ def test_pallas_remap_batched_bf16_output():
         assert err.max() <= 1.0, err.max()
 
 
+@pytest.mark.slow
 def test_pallas_remap_batched_channel_counts():
     """nc=1 (luma) and nc=2 (chroma pair) kernels: byte-packed channels
     agree with the nc=3 path on the same maps (the YUV420-native
@@ -127,6 +129,7 @@ def test_pallas_remap_batched_channel_counts():
     assert np.abs(got2 - ref[:2]).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_remap_paired():
     """paired=True (one gather per fan row, both horizontal taps
     byte-packed): matches the unpaired path for nc=1 and nc=2."""
@@ -156,6 +159,7 @@ def test_pallas_remap_paired():
     assert np.abs(np.asarray(ref2) - np.asarray(got2)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_remap_edge_clamp_weights():
     """Maps sampling past the last source row/col (py > in_h-1): the
     clamp collapses both taps onto one row, and the grouped kernel's

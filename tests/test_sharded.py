@@ -103,6 +103,7 @@ def test_sharded_gain_effect(setup):
     assert cam1 / cam0 > 0.75
 
 
+@pytest.mark.slow
 def test_sharded_bf16_blend(setup):
     """blend_dtype='bfloat16' on the sharded path: same product within
     bf16 ulp of the f32 path (the 16-bit analogue of the reference's
@@ -149,6 +150,7 @@ def test_sharded_default_pipeline_is_yuv420(setup):
     assert sm_rgb.plan.pipeline == "rgb"
 
 
+@pytest.mark.slow
 def test_sharded_yuv420_pipeline(setup):
     """Sharded yuv420 pipeline (pair-packed Y/UV fans, per-plane blends,
     half-res chroma bands with halo/2): same product as the single-chip

@@ -230,6 +230,7 @@ def test_multiband_bf16_matches_f32(two_cam_setup):
     assert np.percentile(diff, 99.9) <= 4.0
 
 
+@pytest.mark.slow
 def test_yuv420_pipeline_matches_rgb(two_cam_setup):
     """pipeline='yuv420' (full-res 1-channel Y fan + half-res 2-channel
     chroma fan, separate blends, direct YUV420P output — the reference
@@ -267,6 +268,7 @@ def test_yuv420_pipeline_matches_rgb(two_cam_setup):
     assert err.mean() < 3.0, err.mean()
 
 
+@pytest.mark.slow
 def test_yuv420_pipeline_feather(two_cam_setup):
     rig, mt, sizes = two_cam_setup
     frames = render_camera_frames(rig)
