@@ -26,8 +26,29 @@ def main(argv=None):
 
     apply_platform_env()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--inputs", required=True, help="comma-separated paths")
+    ap.add_argument(
+        "--inputs",
+        default=None,
+        help="comma-separated paths (required unless --source synthetic)",
+    )
     ap.add_argument("--in_size", required=True, help="WxH of every input")
+    ap.add_argument(
+        "--source",
+        default="files",
+        choices=("files", "synthetic"),
+        help="synthetic: device-resident random frame sets instead of "
+        "file reads — demonstrates the pipeline's device-bound fps "
+        "without host transfers (use with --frames N)",
+    )
+    ap.add_argument(
+        "--sharded",
+        default=None,
+        metavar="DATAxSPACE",
+        help="stitch through ShardedMapper on a (data, space) device "
+        "mesh, e.g. 1x4 — BASELINE config 5's multi-chip streaming "
+        "path; the pipeline groups 'data' frame sets per device batch "
+        "(async.cpp:247-259 fan-out on a mesh)",
+    )
     ap.add_argument(
         "--in_format",
         default="yuv420p",
@@ -95,10 +116,19 @@ def main(argv=None):
     from ..template import load_dat, load_npz
 
     w_in, h_in = (int(v) for v in args.in_size.lower().split("x"))
-    in_paths = args.inputs.split(",")
-    readers = [
-        FrameReader(p, w_in, h_in, fmt=args.in_format) for p in in_paths
-    ]
+    if args.source == "synthetic":
+        if not args.frames:
+            raise SystemExit("--source synthetic requires --frames N")
+        readers = None
+        n_inputs = None  # resolved from the first template below
+    else:
+        if not args.inputs:
+            raise SystemExit("--inputs required unless --source synthetic")
+        in_paths = args.inputs.split(",")
+        readers = [
+            FrameReader(p, w_in, h_in, fmt=args.in_format) for p in in_paths
+        ]
+        n_inputs = len(readers)
 
     def to420(frame):
         if args.in_format != "uyvy":
@@ -114,6 +144,13 @@ def main(argv=None):
         bottom = np.concatenate([u, v], axis=1)
         return np.concatenate([y, bottom], axis=0)
 
+    mesh = None
+    if args.sharded:
+        from ..parallel.sharded import ShardedMapper, make_mesh
+
+        n_data, n_space = (int(v) for v in args.sharded.lower().split("x"))
+        mesh = make_mesh(n_data, n_space)
+
     mappers, gain_modes = [], []
     for k, spec in enumerate(args.outputs.split(",")):
         parts = spec.split(":")
@@ -125,27 +162,51 @@ def main(argv=None):
             if path.endswith(".npz")
             else load_dat(open(path, "rb"))
         )
-        assert len(mt.inputs) == len(readers), (
+        if n_inputs is None:
+            n_inputs = len(mt.inputs)
+        assert len(mt.inputs) == n_inputs, (
             f"template {path} wants {len(mt.inputs)} inputs"
         )
-        mappers.append(
-            Mapper(
-                mt,
-                [(h_in, w_in)] * len(readers),
-                blend=blend,
-                enable_gain=gain_mode >= 0,
-                pipeline=args.pipeline,
-                blend_dtype=args.blend_dtype,
+        if mesh is not None:
+            pl = None if args.pipeline == "auto" else args.pipeline
+            mappers.append(
+                ShardedMapper(
+                    mt,
+                    [(h_in, w_in)] * n_inputs,
+                    mesh,
+                    blend=blend,
+                    enable_gain=gain_mode >= 0,
+                    pipeline=pl,
+                    blend_dtype=args.blend_dtype or "float32",
+                )
             )
-        )
-        gain_modes.append(gain_mode)
+            gain_modes.append(-1 if gain_mode < 0 else k)
+        else:
+            mappers.append(
+                Mapper(
+                    mt,
+                    [(h_in, w_in)] * n_inputs,
+                    blend=blend,
+                    enable_gain=gain_mode >= 0,
+                    pipeline=args.pipeline,
+                    blend_dtype=args.blend_dtype,
+                )
+            )
+            gain_modes.append(gain_mode)
 
     writers = [
         FrameWriter(p, m.plan.out_size[0], m.plan.out_size[1])
         for p, m in zip(args.out.split(","), mappers)
     ]
 
-    amm = AsyncMultiMapper(mappers, gain_modes=gain_modes, timers=args.timers)
+    # synthetic sets are device-resident and REUSED across pushes, so
+    # frame-buffer donation must stay off for them
+    amm = AsyncMultiMapper(
+        mappers,
+        gain_modes=gain_modes,
+        timers=args.timers,
+        donate=(args.source != "synthetic"),
+    )
     timer = Timer("stream")
     t_start = time.time()
     n_pushed = n_popped = 0
@@ -227,28 +288,57 @@ def main(argv=None):
             )
 
     try:
-        while not eof:
-            frames = []
-            for r in readers:
-                item = r.next()
-                if item is None:
-                    eof = True
+        if args.source == "synthetic":
+            # device-resident rotating frame sets: the upload stage's
+            # device_put is a no-op, so the measured fps is the
+            # pipeline's device-bound rate (no tunnel/PCIe transfers)
+            import jax
+
+            rng = np.random.default_rng(0)
+            K = 4
+            sets = [
+                [
+                    jax.device_put(
+                        rng.integers(
+                            16, 235, (h_in * 3 // 2, w_in), dtype=np.uint8
+                        )
+                    )
+                    for _ in range(n_inputs)
+                ]
+                for _ in range(K)
+            ]
+            jax.block_until_ready(sets)
+            print(f"# synthetic source: {K} rotating device-resident "
+                  f"frame sets", file=sys.stderr)
+            for n in range(args.frames):
+                amm.push(sets[n % K])
+                n_pushed += 1
+                while not amm._out_q.empty() or (n_pushed - n_popped) >= 3:
+                    drain_one()
+        else:
+            while not eof:
+                frames = []
+                for r in readers:
+                    item = r.next()
+                    if item is None:
+                        eof = True
+                        break
+                    frames.append(to420(item[1]))
+                if eof:
                     break
-                frames.append(to420(item[1]))
-            if eof:
-                break
-            amm.push(frames)
-            n_pushed += 1
-            # drain opportunistically to keep the pipeline at depth
-            while not amm._out_q.empty() or (n_pushed - n_popped) >= 3:
-                drain_one()
-            if args.frames and n_pushed >= args.frames:
-                break
+                amm.push(frames)
+                n_pushed += 1
+                # drain opportunistically to keep the pipeline at depth
+                while not amm._out_q.empty() or (n_pushed - n_popped) >= 3:
+                    drain_one()
+                if args.frames and n_pushed >= args.frames:
+                    break
+        amm.close_input()  # flush any partial sharded batch
         while n_popped < n_pushed:
             drain_one()
     finally:
         amm.close()
-        for r in readers:
+        for r in readers or []:
             r.close()
         for wtr in writers:
             wtr.close()

@@ -61,15 +61,34 @@ class AsyncMultiMapper:
 
         self._jax = jax
         self.mappers = mappers
+        # sharded outputs (ShardedMapper): the stitch stage groups
+        # mesh-'data' consecutive frame sets into one stitch_batch call
+        # (BASELINE config 5: live streaming through the sharded
+        # mapper); the drain stage fans the batch back out per frame
+        self._sharded = hasattr(mappers[0], "stitch_batch")
+        if self._sharded:
+            assert all(hasattr(m, "stitch_batch") for m in mappers), (
+                "mixing ShardedMapper and Mapper outputs is unsupported"
+            )
+            self._data_batch = mappers[0].mesh.shape["data"]
+            if gain_modes is not None:
+                assert all(
+                    g in (-1, k) for k, g in enumerate(gain_modes)
+                ), "sharded streaming does not support cross-output gain sharing"
         # donation is a warning no-op on the CPU backend; keep it off
         # there so tests stay quiet
-        self.donate = donate and jax.default_backend() in ("tpu", "gpu")
+        self.donate = (
+            donate
+            and not self._sharded
+            and jax.default_backend() in ("tpu", "gpu")
+        )
         n_out = len(mappers)
         self.gain_modes = (
             list(gain_modes) if gain_modes is not None else list(range(n_out))
         )
         assert len(self.gain_modes) == n_out
 
+        self._closed_input = False
         self._in_q = queue.Queue(maxsize=BUF_SIZE)
         self._up_q = queue.Queue(maxsize=BUF_SIZE)
         self._flight_q = queue.Queue(maxsize=BUF_SIZE)
@@ -115,8 +134,45 @@ class AsyncMultiMapper:
                 return
             self._up_q.put(self._pool.submit(self._upload_one, item))
 
+    def _dispatch_sharded(self, pend):
+        """One stitch_batch over ``pend`` frame sets (padded by
+        repeating the last set when the stream ends mid-batch)."""
+        import jax.numpy as jnp
+
+        nreal = len(pend)
+        B = self._data_batch
+        sets = pend + [pend[-1]] * (B - nreal)
+        n_in = len(sets[0])
+        per_input = [
+            jnp.stack([sets[b][i] for b in range(B)]) for i in range(n_in)
+        ]
+        outs = []
+        for m in self.mappers:
+            out, _g = m.stitch_batch(per_input)
+            outs.append(out)
+        self._flight_q.put(("sbatch", outs, nreal))
+
     def _run_stitch(self):
         import time
+
+        if self._sharded:
+            pend = []
+            while True:
+                fut = self._up_q.get()
+                if isinstance(fut, _Stop):
+                    if pend:
+                        self._dispatch_sharded(pend)
+                    self._flight_q.put(_STOP)
+                    return
+                t1 = time.perf_counter()
+                pend.append(fut.result())
+                if len(pend) == self._data_batch:
+                    self._dispatch_sharded(pend)
+                    pend = []
+                self._stage_ms["dispatch"] += (
+                    time.perf_counter() - t1
+                ) * 1e3
+            return
 
         while True:
             fut = self._up_q.get()
@@ -157,6 +213,22 @@ class AsyncMultiMapper:
                 self._out_q.put(_STOP)
                 return
             t0 = time.perf_counter()
+            if self._sharded:
+                _tag, outs, nreal = item
+                # D2H the whole batch, then reassemble per frame
+                host_b = [np.asarray(o) for o in outs]
+                for b in range(nreal):
+                    host = [
+                        m.assemble_yuv(hb[b])
+                        for m, hb in zip(self.mappers, host_b)
+                    ]
+                    self._stage_n += 1
+                    self.fps.tick()
+                    self._out_q.put(host)
+                self._stage_ms["drain"] += (
+                    time.perf_counter() - t0
+                ) * 1e3
+                continue
             host = [np.asarray(o) for o in item]  # blocks until ready
             self._stage_ms["drain"] += (time.perf_counter() - t0) * 1e3
             self._stage_n += 1
@@ -186,8 +258,16 @@ class AsyncMultiMapper:
             raise StopIteration
         return out
 
+    def close_input(self):
+        """Signal end-of-stream upstream: flushes any partial sharded
+        batch so every pushed frame can still be pop()'d before
+        close()."""
+        if not self._closed_input:
+            self._closed_input = True
+            self._in_q.put(_STOP)
+
     def close(self):
-        self._in_q.put(_STOP)
+        self.close_input()
         for t in self._threads:
             t.join(timeout=30)
         self._pool.shutdown(wait=False)
