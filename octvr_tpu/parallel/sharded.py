@@ -6,13 +6,18 @@ TPU-native scaling design (SURVEY.md §2.5/§5): a 2-D device mesh
 * ``data``: frame-level data parallelism (each chip stitches different
   frames of the stream; linear throughput scaling for video).
 * ``space``: spatial tensor parallelism — the output canvas is split into
-  horizontal row *bands*, one per chip.  Each band is extended by a halo
-  of ``5 * 2^bands`` rows (the reference's multiband alignment gap,
-  blenders.cpp:625-640, which is exactly the support needed for the blend
-  pyramid); halo rows are *recomputed* on both neighbors instead of
-  exchanged — remap is pure per-pixel gather, so recompute is cheaper
-  than an ICI round-trip.  The only cross-chip communication is a psum
-  of the tiny exposure-gain sums (one [2P] vector per frame).
+  horizontal row *bands*, one per chip, with halo rows *recomputed* on
+  both neighbors instead of exchanged (remap is pure per-pixel gather,
+  so recompute is cheaper than an ICI round-trip).  For wide multiband
+  blends the halo is kept SMALL by a two-level decomposition: fine
+  pyramid levels 0..L-1 run band-locally under a ``5 * 2^L`` halo, and
+  the coarse levels L..B run redundantly on the global canvas from an
+  all-gathered level-L Gaussian (a few hundred KB per 4K frame — the
+  only image bytes that ever cross chips).  Measured on the real chip,
+  the single-level ``5 * 2^B`` halo capped scaling efficiency at
+  0.59/0.37/0.21 for S=2/4/8 at blend=128; the split halo restores the
+  ext/bh ratio to ~1 + 48/bh.  Remaining cross-chip traffic: the
+  level-L gather plus a psum of the tiny exposure-gain sums.
 
 The per-shard compute path is the SAME one the single-chip ``Mapper``
 runs (VERDICT r1 item 3): batched Pallas remap kernel (per-shard plans
@@ -134,6 +139,22 @@ class ShardedPlan:
     resize_v_uv: object = None
     resize_h_uv: object = None
     gain_blocks: object = None  # replicated BlocksGainPlan ("blocks")
+    # two-level multiband decomposition (communication-avoiding halos):
+    # levels < split_level run band-locally with a 5*2^L halo; levels
+    # >= split_level run on the GLOBAL canvas from an all-gathered
+    # level-L Gaussian (tiny), so the halo no longer scales with 2^B.
+    # split_level == -1 (or == num_bands) keeps the single-level path.
+    split_level: int = -1
+    split_level_uv: int = -1
+    # [coarse level][input] -> [Hp>>l, iw_i>>l] replicated
+    wp_coarse: Optional[List] = None
+    inv_bw_coarse: Optional[List] = None  # per level: [Hp>>l, Wp>>l]
+    wp_coarse_uv: Optional[List] = None
+    inv_bw_coarse_uv: Optional[List] = None
+    # per-shard extended-band row gather into the global level-L acc
+    # (reflect-101 about the union box, precomputed)
+    coarse_row_idx: object = None  # [S, ext>>L] i32
+    coarse_row_idx_uv: object = None
     # union-box clamps (multiband only, set only when the camera union
     # does NOT cover the whole canvas): zero the blended band outside
     # the union so reflect-extended constants never leak into rows the
@@ -179,6 +200,12 @@ register_plan(
         "resize_v_uv",
         "resize_h_uv",
         "gain_blocks",
+        "wp_coarse",
+        "inv_bw_coarse",
+        "wp_coarse_uv",
+        "inv_bw_coarse_uv",
+        "coarse_row_idx",
+        "coarse_row_idx_uv",
         "union_row_mask",
         "union_row_mask_uv",
         "union_col_mask",
@@ -227,6 +254,8 @@ register_plan(
         "out_size",
         "obh",
         "oW",
+        "split_level",
+        "split_level_uv",
         "ralign",
         "ghalo",
         "rois",
@@ -244,6 +273,8 @@ _SPACE_FIELDS = (
     "remap_uv_groups",
     "resize_v",
     "resize_v_uv",
+    "coarse_row_idx",
+    "coarse_row_idx_uv",
     "union_row_mask",
     "union_row_mask_uv",
     "feather_w",
@@ -265,6 +296,22 @@ def _round_up(v, m):
 
 def _round_down(v, m):
     return v // m * m
+
+
+def _coarse_row_map(n, lo, hi, start, nrows):
+    """Extended-band row gather into the global level-L reconstruction.
+
+    Top overshoot uses reflect-101 about the union top (an even anchor
+    at every level, so 101 survives downsampling).  Bottom overshoot
+    uses SYMMETRIC reflection about hi-0.5: the union bottom anchor
+    (hi-1) is odd in general, and reflect-101 level-0 data downsamples
+    to the symmetric extension at coarser levels — this matches what
+    the single-level band pyramids (and therefore the single-chip
+    blend) effectively compute beyond the canvas bottom."""
+    idx = np.arange(start, start + n)
+    r = np.where(idx < lo, 2 * lo - idx, idx)
+    r = np.where(r > hi - 1, 2 * hi - 1 - r, r)
+    return np.clip(r, 0, nrows - 1).astype(np.int32)
 
 
 def _full_canvas_maps(mt: MapperTemplate, Hp, Wp):
@@ -368,6 +415,7 @@ def build_sharded_plan(
     pipeline: str = "rgb",
     scale_output=None,
     frame_format: str = "yuv420p",
+    coarse_split=None,
 ) -> ShardedPlan:
     """Per-input aligned band ROIs (the reference's per-region
     ROI-cropped Mapper work, async.cpp:247-259 + the aligned-ROI
@@ -425,15 +473,32 @@ def build_sharded_plan(
     stride = 1 << max(0, int(round(math.log2(stride))))
 
     step = 1 << B
-    # ROI alignment: window offsets/extents stay exact at every pyramid
-    # level (2^B; /2 for the half-res chroma bands since ralign >= 4),
-    # on the gain working grid (stride), and on the YUV420 2x2 grid
+    # two-level split decision (communication-avoiding halos): band-
+    # local fine levels 0..L-1 need only a 5*2^L halo; levels L..B run
+    # on the global canvas from an all-gathered level-L Gaussian, so
+    # the halo recompute stops scaling with the blend width.  The
+    # measured single-level curve (tools/scaling_projection.py) tracks
+    # ext/bh almost exactly — halo 320 at blend=128 capped efficiency
+    # at 0.59/0.37/0.21 for S=2/4/8; with halo 5*2^L it projects >0.8.
+    if coarse_split is None:
+        L = 2 if (kind == "multiband" and n_space > 1 and B > 2) else B
+    else:
+        L = max(1, min(int(coarse_split), B))
+    split = kind == "multiband" and L < B
+    fine_step = (1 << L) if split else step
+    # x alignment supports STATIC offsets at every level up to B; the
+    # y (band) alignment only the band-local fine levels, plus the gain
+    # working grid (stride) and the YUV420 2x2 grid
     ralign = max(step, stride, 4)
-    Hp = _round_up(H, n_space * ralign)
+    ralign_y = max(fine_step, stride, 4) if split else ralign
+    # Hp: divisible by n_space*ralign_y (band slicing) AND step (global
+    # coarse grids)
+    _m = n_space * ralign_y
+    Hp = _round_up(H, _m * step // math.gcd(_m, step))
     Wp = _round_up(W, ralign)
     bh = Hp // n_space
-    halo = 5 * step if kind == "multiband" else 8
-    halo = _round_up(halo, ralign)
+    halo = 5 * fine_step if kind == "multiband" else 8
+    halo = _round_up(halo, ralign_y)
     ow, oh = out_size
     obh = bh
     if out_size != (W, H):
@@ -461,12 +526,15 @@ def build_sharded_plan(
                     (int(y1.max()) - (top + b_l - 1)) * scale_up,
                 )
         if n_space > 1 and need > 0:
-            halo = max(halo, _round_up(need, ralign))
+            halo = max(halo, _round_up(need, ralign_y))
     if n_space == 1:
         halo = 0  # no neighbor bands: halo rows would be pure padding
+        split = False
+        L = B
+        fine_step = step
     ext = bh + 2 * halo
     S = n_space
-    assert ext % ralign == 0 and halo % max(stride, 1) == 0
+    assert ext % ralign_y == 0 and halo % max(stride, 1) == 0
     ghalo = halo // stride
 
     maps = _full_canvas_maps(mt, Hp, Wp)
@@ -476,7 +544,8 @@ def build_sharded_plan(
     # height, per-shard y offset.  gap = 5*2^B is the pyramid support of
     # the blend weights (blenders.cpp:625-640); feather weights live
     # strictly inside the mask, overlays are plain pastes -> no gap.
-    gap = 5 * step if kind == "multiband" else 0
+    gap = 5 * step if kind == "multiband" else 0  # x expansion
+    gap_y = 5 * fine_step if kind == "multiband" else 0
     # canvas-union aligned bounds: the single-chip blend clips every
     # per-input aligned ROI to this box (blenders.py
     # build_multiband_plan; blenders.cpp:594-640), so its reflect-101
@@ -521,17 +590,18 @@ def build_sharded_plan(
     for idx, inp in enumerate(all_inputs):
         x, y, w_, h_ = inp.roi
         g = gap if idx < ncam else 0
+        gy = gap_y if idx < ncam else 0
         x0 = max(0, _round_down(x - g, ralign))
         x1 = min(Wp, _round_up(x + w_ + g, ralign))
         iw = x1 - x0
         wins = []
         for s in range(S):
             top = s * bh - halo
-            ly0 = max(0, _round_down(y - g - top, ralign))
-            ly1 = min(ext, _round_up(y + h_ + g - top, ralign))
+            ly0 = max(0, _round_down(y - gy - top, ralign_y))
+            ly1 = min(ext, _round_up(y + h_ + gy - top, ralign_y))
             wins.append((ly0, ly1) if ly1 > ly0 else None)
         hmax = max((w1 - w0 for w in wins if w for (w0, w1) in [w]), default=0)
-        hmax = min(ext, max(hmax, ralign))
+        hmax = min(ext, max(hmax, ralign_y))
         oys = []
         for s, wnd in enumerate(wins):
             o = 0 if wnd is None else min(wnd[0], ext - hmax)
@@ -638,7 +708,7 @@ def build_sharded_plan(
         out_size=out_size,
         obh=obh,
         oW=(ow if out_size != (W, H) else Wp),
-        ralign=ralign,
+        ralign=ralign_y,
         ghalo=ghalo,
         rois=tuple(rois),
         roi_oy_static=tuple(oy_static),
@@ -786,6 +856,10 @@ def build_sharded_plan(
             np.sum([p[l] for p in pyrs], axis=0) + WEIGHT_EPS
             for l in range(B + 1)
         ]
+        # band-local levels: all B+1 on the single-level path; only the
+        # fine levels 0..L-1 when the two-level split is active (the
+        # coarse levels then come from the all-gathered global path)
+        n_fine = L if split else B + 1
         # nested [level][input] -> [S, hmax_i>>l, iw_i>>l]
         plan.weight_pyrs = [
             [
@@ -797,7 +871,7 @@ def build_sharded_plan(
                 )
                 for i, p in enumerate(pyrs)
             ]
-            for l in range(B + 1)
+            for l in range(n_fine)
         ]
         plan.inv_band_weights = [
             np.stack(
@@ -806,18 +880,44 @@ def build_sharded_plan(
                     for s in range(S)
                 ]
             )
-            for l in range(B + 1)
+            for l in range(n_fine)
         ]
-        for l in range(B + 1):
+        for l in range(n_fine):
             plan.inv_band_weights[l] = (
                 1.0 / np.maximum(plan.inv_band_weights[l], WEIGHT_EPS)
             ).astype(np.float32)
+        if split:
+            plan.split_level = L
+            # global coarse constants (tiny): per-input weight pyramids
+            # at the input's x window, global rows; global inverse band
+            # weights; per-shard extended-band row gather into the
+            # global level-L reconstruction (reflect about the union)
+            plan.wp_coarse = [
+                [
+                    pyrs[i][l][:, (x0 >> l) : ((x0 + iw) >> l)]
+                    for i, (x0, iw, hmax) in enumerate(rois[:ncam])
+                ]
+                for l in range(L, B + 1)
+            ]
+            plan.inv_bw_coarse = [
+                (1.0 / np.maximum(bw[l], WEIGHT_EPS)).astype(np.float32)
+                for l in range(L, B + 1)
+            ]
+            ridx = np.zeros((S, ext >> L), np.int32)
+            for s in range(S):
+                top = (s * bh - halo) >> L
+                r = _coarse_row_map(
+                    ext >> L, ary >> L, ary1 >> L, top, Hp >> L
+                )
+                ridx[s] = r
+            plan.coarse_row_idx = ridx
         # MXU banded matrices for every axis length the blend touches
         down_mats, up_mats = {}, {}
         lengths = set()
         for l in range(B + 1):
             lengths.add(ext >> l)
             lengths.add(Wp >> l)
+            lengths.add(Hp >> l)
             for (x0, iw, hmax) in rois[:ncam]:
                 lengths.add(hmax >> l)
                 lengths.add(iw >> l)
@@ -840,6 +940,13 @@ def build_sharded_plan(
             plan.inv_band_weights = [
                 b.astype(bd) for b in plan.inv_band_weights
             ]
+            if split:
+                plan.wp_coarse = [
+                    [p.astype(bd) for p in lvl] for lvl in plan.wp_coarse
+                ]
+                plan.inv_bw_coarse = [
+                    b.astype(bd) for b in plan.inv_bw_coarse
+                ]
             plan.down_mats = {k: v.astype(bd) for k, v in down_mats.items()}
             plan.up_mats = {k: v.astype(bd) for k, v in up_mats.items()}
             plan.compute_dtype = "bfloat16"
@@ -869,6 +976,11 @@ def build_sharded_plan(
                 np.sum([p[l] for p in pyrs_uv], axis=0) + WEIGHT_EPS
                 for l in range(B_uv + 1)
             ]
+            L_uv = max(1, L - 1) if split else B_uv
+            split_uv = split and L_uv < B_uv and halo2 >= 5 * (1 << L_uv)
+            if not split_uv:
+                L_uv = B_uv
+            n_fine_uv = L_uv if split_uv else B_uv + 1
             plan.weight_pyrs_uv = [
                 [
                     np.stack(
@@ -879,7 +991,7 @@ def build_sharded_plan(
                     )
                     for i, p in enumerate(pyrs_uv)
                 ]
-                for l in range(B_uv + 1)
+                for l in range(n_fine_uv)
             ]
             plan.inv_band_weights_uv = [
                 np.stack(
@@ -888,17 +1000,47 @@ def build_sharded_plan(
                         for s in range(S)
                     ]
                 )
-                for l in range(B_uv + 1)
+                for l in range(n_fine_uv)
             ]
-            for l in range(B_uv + 1):
+            for l in range(n_fine_uv):
                 plan.inv_band_weights_uv[l] = (
                     1.0
                     / np.maximum(plan.inv_band_weights_uv[l], WEIGHT_EPS)
                 ).astype(np.float32)
+            if split_uv:
+                plan.split_level_uv = L_uv
+                plan.wp_coarse_uv = [
+                    [
+                        pyrs_uv[i][l][
+                            :, ((x0 // 2) >> l) : (((x0 + iw) // 2) >> l)
+                        ]
+                        for i, (x0, iw, hmax) in enumerate(rois[:ncam])
+                    ]
+                    for l in range(L_uv, B_uv + 1)
+                ]
+                plan.inv_bw_coarse_uv = [
+                    (1.0 / np.maximum(bw_uv[l], WEIGHT_EPS)).astype(
+                        np.float32
+                    )
+                    for l in range(L_uv, B_uv + 1)
+                ]
+                ridx = np.zeros((S, ext2 >> L_uv), np.int32)
+                for s in range(S):
+                    top = (s * bh2 - halo2) >> L_uv
+                    r = _coarse_row_map(
+                        ext2 >> L_uv,
+                        (ary // 2) >> L_uv,
+                        (ary1 // 2) >> L_uv,
+                        top,
+                        (Hp // 2) >> L_uv,
+                    )
+                    ridx[s] = r
+                plan.coarse_row_idx_uv = ridx
             lengths = set()
             for l in range(B_uv + 1):
                 lengths.add(ext2 >> l)
                 lengths.add((Wp // 2) >> l)
+                lengths.add((Hp // 2) >> l)
                 for (x0, iw, hmax) in rois[:ncam]:
                     lengths.add((hmax // 2) >> l)
                     lengths.add((iw // 2) >> l)
@@ -917,6 +1059,14 @@ def build_sharded_plan(
                 plan.inv_band_weights_uv = [
                     b.astype(bd) for b in plan.inv_band_weights_uv
                 ]
+                if split_uv:
+                    plan.wp_coarse_uv = [
+                        [p.astype(bd) for p in lvl]
+                        for lvl in plan.wp_coarse_uv
+                    ]
+                    plan.inv_bw_coarse_uv = [
+                        b.astype(bd) for b in plan.inv_bw_coarse_uv
+                    ]
                 plan.down_mats = {
                     k: (v.astype(bd) if v.dtype != bd else v)
                     for k, v in plan.down_mats.items()
@@ -1315,7 +1465,8 @@ def _resize_band(band, vt, ht):
 
 
 def _blend_windows(
-    plan, imgs, wins, weight_pyrs, inv_bw, feather_w, B, ext_v, W_v
+    plan, imgs, wins, weight_pyrs, inv_bw, feather_w, B, ext_v, W_v,
+    coarse=None,
 ):
     """Blend per-input window images into one [c, ext_v, W_v] band.
 
@@ -1323,7 +1474,8 @@ def _blend_windows(
     oy) in this plane's units (oy may be traced).  Per-input pyramids
     run at window size and paste-add into band-level dst pyramids — the
     aligned-ROI GPUStaticBlender geometry (blenders.cpp:594-640) on a
-    band."""
+    band.  ``coarse``: the two-level split context (see
+    _blend_windows_split) or None for the single-level path."""
     c = imgs[0].shape[0]
     if plan.blend_kind == "feather":
         band = jnp.zeros((c, ext_v, W_v), dtype=imgs[0].dtype)
@@ -1353,6 +1505,12 @@ def _blend_windows(
             from ..ops.pyramid import pyr_up
 
             return pyr_up(z.astype(jnp.float32)).astype(cdt)
+
+        if coarse is not None:
+            return _blend_windows_split(
+                plan, imgs, wins, weight_pyrs, inv_bw, B, ext_v, W_v,
+                down, up, cdt, coarse,
+            )
 
         dst = [
             jnp.zeros((c, ext_v >> l, W_v >> l), dtype=cdt)
@@ -1388,6 +1546,101 @@ def _blend_windows(
             total, (im != 0).any(axis=0)[None].astype(jnp.float32), oy, x0
         )
     return band / jnp.maximum(total, 1.0)
+
+
+def _blend_windows_split(
+    plan, imgs, wins, wp_fine, inv_fine, B, ext_v, W_v, down, up, cdt, co
+):
+    """Two-level multiband blend (communication-avoiding halos).
+
+    Fine levels 0..L-1 run band-locally exactly like the single-level
+    path (their support fits the 5*2^L halo).  The level-L Gaussian's
+    band-INTERIOR rows are all-gathered across 'space' (the only image
+    bytes the sharded stitch ever exchanges — a few hundred KB at 4K),
+    and every chip redundantly computes the tiny global coarse levels
+    L..B, collapses them to the global level-L reconstruction, and
+    gathers its own extended-band rows back (precomputed reflect-101
+    row map) to seed the band-local fine collapse.
+
+    The dyadic pyramid's locality makes this exact for band-interior
+    outputs: fine-level boundary effects stay within the halo, and the
+    coarse path is computed on globally complete data."""
+    L = co["L"]
+    halo_v, bh_v = co["halo"], co["bh"]
+    c = imgs[0].shape[0]
+
+    dst = [
+        jnp.zeros((c, ext_v >> l, W_v >> l), dtype=cdt) for l in range(L)
+    ]
+    g_slices = []
+    for i, wd in enumerate(imgs):
+        x0, iw, hmax, oy = wins[i]
+        gauss = [wd]
+        for _ in range(L):
+            gauss.append(down(gauss[-1]))
+        for l in range(L):
+            lap = gauss[l] - up(gauss[l + 1])
+            contrib = lap * wp_fine[l][i][None]
+            dst[l] = _paste_add(
+                dst[l],
+                contrib,
+                oy >> l if isinstance(oy, int) else oy // (1 << l),
+                x0 >> l,
+            )
+        # band-interior rows of gauss[L] (window pasted into the
+        # extended band first so a short window never under-covers)
+        buf = jnp.zeros((c, ext_v >> L, iw >> L), dtype=cdt)
+        buf = _paste_add(
+            buf,
+            gauss[L],
+            oy >> L if isinstance(oy, int) else oy // (1 << L),
+            0,
+        )
+        g_slices.append(buf[:, (halo_v >> L) : (halo_v >> L) + (bh_v >> L)])
+
+    widths = [g.shape[-1] for g in g_slices]
+    cat = jnp.concatenate(g_slices, axis=-1)
+    full = jax.lax.all_gather(
+        cat, "space", axis=1, tiled=True
+    )  # [c, Hp_v>>L, sum(iw>>L)]
+    expected = co["S"] * (bh_v >> L)
+    if full.shape[1] != expected:
+        # single-device emulation of an S-way mesh (tools/
+        # scaling_projection.py): replicate the local band rows so the
+        # coarse path runs at true global size — timing-faithful; value
+        # parity is covered by the real multi-device mesh tests
+        full = jnp.tile(full, (1, expected // full.shape[1], 1))
+    Hp_L = full.shape[1]
+
+    nl = B - L + 1
+    dstC = [
+        jnp.zeros((c, (Hp_L << L) >> l, W_v >> l), dtype=cdt)
+        for l in range(L, B + 1)
+    ]
+    off = 0
+    for i in range(len(imgs)):
+        x0, iw, hmax, oy = wins[i]
+        g = full[:, :, off : off + widths[i]]
+        off += widths[i]
+        gaussC = [g]
+        for l in range(L, B):
+            gaussC.append(down(gaussC[-1]))
+        for li, l in enumerate(range(L, B + 1)):
+            lap = gaussC[li] - up(gaussC[li + 1]) if l < B else gaussC[-1]
+            contrib = lap * co["wp"][li][i][None]
+            dstC[li] = dstC[li].at[
+                :, :, (x0 >> l) : (x0 >> l) + contrib.shape[-1]
+            ].add(contrib)
+    for li in range(nl):
+        dstC[li] = dstC[li] * co["inv"][li][None]
+    accC = dstC[-1]
+    for li in range(nl - 2, -1, -1):
+        accC = up(accC) + dstC[li]
+    # extended-band rows of the global level-L acc
+    acc = accC[:, co["ridx"]]
+    for l in range(L - 1, -1, -1):
+        acc = up(acc) + dst[l]
+    return acc
 
 
 def _overlay_band(plan, ov_window, k, ext_v, W_v, div=1):
@@ -1480,6 +1733,17 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     wins = [
         plan.rois[i] + (_win_oy(plan, i),) for i in range(ncam)
     ]
+    coarse = None
+    if plan.split_level >= 0 and plan.blend_kind == "multiband":
+        coarse = dict(
+            L=plan.split_level,
+            wp=plan.wp_coarse,
+            inv=plan.inv_bw_coarse,
+            ridx=plan.coarse_row_idx,
+            halo=halo,
+            bh=bh,
+            S=plan.S,
+        )
     band = _blend_windows(
         plan,
         warped[:ncam],
@@ -1490,6 +1754,7 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
         plan.num_bands,
         ext,
         Wp,
+        coarse=coarse,
     )
     band = band.astype(jnp.float32)
     if plan.union_row_mask is not None:
@@ -1627,6 +1892,28 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         for i in range(ncam)
     ]
 
+    coarse_y = coarse_uv = None
+    if plan.blend_kind == "multiband":
+        if plan.split_level >= 0:
+            coarse_y = dict(
+                L=plan.split_level,
+                wp=plan.wp_coarse,
+                inv=plan.inv_bw_coarse,
+                ridx=plan.coarse_row_idx,
+                halo=halo,
+                bh=bh,
+                S=plan.S,
+            )
+        if plan.split_level_uv >= 0:
+            coarse_uv = dict(
+                L=plan.split_level_uv,
+                wp=plan.wp_coarse_uv,
+                inv=plan.inv_bw_coarse_uv,
+                ridx=plan.coarse_row_idx_uv,
+                halo=halo2,
+                bh=bh2,
+                S=plan.S,
+            )
     band_y = _blend_windows(
         plan,
         warped_y[:ncam],
@@ -1637,6 +1924,7 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         plan.num_bands,
         ext,
         Wp,
+        coarse=coarse_y,
     )
     band_uv = _blend_windows(
         plan,
@@ -1648,6 +1936,7 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         plan.num_bands_uv,
         ext // 2,
         Wp2,
+        coarse=coarse_uv,
     )
 
     band_yf = band_y.astype(jnp.float32)
@@ -1718,6 +2007,7 @@ class ShardedMapper:
         pipeline: str = None,
         scale_output=None,
         frame_format: str = "yuv420p",
+        coarse_split=None,
     ):
         assert out_format in ("yuv420p", "rgb")
         W0, H0 = mt.out_size
@@ -1751,6 +2041,7 @@ class ShardedMapper:
             pipeline=pipeline,
             scale_output=scale_output,
             frame_format=frame_format,
+            coarse_split=coarse_split,
         )
         interpret = jax.devices()[0].platform != "tpu"
 

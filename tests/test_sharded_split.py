@@ -1,0 +1,94 @@
+"""Two-level multiband decomposition (communication-avoiding halos).
+
+The single-level sharded blend recomputes a 5*2^B-row halo per band —
+measured on the real chip (tools/scaling_projection.py) that caps
+space-scaling efficiency at 0.59/0.37/0.21 for S=2/4/8 at blend=128.
+The split path runs fine levels band-locally with a 5*2^L halo and the
+coarse levels globally from an all-gathered level-L Gaussian (the only
+image bytes exchanged — a few hundred KB per 4K frame).
+
+Parity contract vs the single-chip Mapper: interior rows exact to
+quantization; the outermost ~4 canvas rows may drift by <2/255 (the
+coarse path's beyond-canvas extension is the symmetric-reflect limit
+of the downsampled reflect-101 data — see _coarse_row_map)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from octvr_tpu.parallel.sharded import ShardedMapper, make_mesh
+from octvr_tpu.stitch import Mapper
+from octvr_tpu.template import compile_rig
+from rigs import two_fisheye_rig
+from test_stitch import render_camera_frames
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rig = two_fisheye_rig()
+    for spec in rig["inputs"]:
+        spec["options"].update(width=256, height=256)
+    mt = compile_rig(rig, 256, 128)
+    mt.create_masks()
+    sizes = [(256, 256)] * 2
+    frames = render_camera_frames(rig)
+    return rig, mt, sizes, frames
+
+
+@pytest.mark.parametrize("blend,pipeline", [(32, "yuv420"), (128, "rgb")])
+def test_split_blend_matches_single_chip(setup, blend, pipeline):
+    rig, mt, sizes, frames = setup
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(1, 4)
+
+    single = Mapper(
+        mt, sizes, blend=blend, enable_gain=True, pipeline=pipeline
+    )
+    out_s, g_s = single.stitch(frames)
+
+    sm = ShardedMapper(
+        mt, sizes, mesh, blend=blend, enable_gain=True, pipeline=pipeline
+    )
+    assert sm.plan.split_level >= 0  # the split is the S>1 default
+    assert sm.plan.halo <= 5 * (1 << sm.plan.split_level) + sm.plan.ralign
+    out_m, g_m = sm.stitch_batch([np.stack([f]) for f in frames])
+    np.testing.assert_allclose(
+        np.asarray(g_m)[0], np.asarray(g_s), rtol=2e-3
+    )
+    yuv = sm.assemble_yuv(np.asarray(out_m)[0])
+    err = np.abs(
+        yuv.astype(np.float32) - np.asarray(out_s).astype(np.float32)
+    )
+    oh = mt.out_size[1]
+    assert err[:oh].mean() < 0.1, err[:oh].mean()
+    # interior rows (away from the canvas top/bottom) are exact to
+    # quantization; the outermost rows carry the documented <2/255
+    # extension approximation
+    assert err[8 : oh - 8].mean() < 0.02, err[8 : oh - 8].mean()
+    rows = err[:oh].mean(axis=1)
+    assert rows.max() < 2.0, rows.max()
+
+
+def test_split_off_matches_split_on_interior(setup):
+    """coarse_split=B disables the split; both paths agree on interior
+    rows (the split only changes beyond-canvas extension semantics)."""
+    rig, mt, sizes, frames = setup
+    mesh = make_mesh(1, 4)
+    batch = [np.stack([f]) for f in frames]
+
+    on = ShardedMapper(
+        mt, sizes, mesh, blend=32, enable_gain=True, pipeline="rgb"
+    )
+    off = ShardedMapper(
+        mt, sizes, mesh, blend=32, enable_gain=True, pipeline="rgb",
+        coarse_split=4,
+    )
+    assert on.plan.split_level == 2 and off.plan.split_level == -1
+    assert on.plan.halo < off.plan.halo  # the point of the split
+    y_on = on.assemble_yuv(np.asarray(on.stitch_batch(batch)[0])[0])
+    y_off = off.assemble_yuv(np.asarray(off.stitch_batch(batch)[0])[0])
+    err = np.abs(y_on.astype(np.float32) - y_off.astype(np.float32))
+    assert err[8:120].mean() < 0.02, err[8:120].mean()

@@ -171,12 +171,20 @@ def main():
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # [TW(pc), TW(c)]
-                # horizontal: per output pixel pc pick cols l0/l1
-                i0 = l0v[pr, :][:, None]  # [TW, 1]
-                i1 = l1v[pr, :][:, None]
-                t0 = jnp.take_along_axis(V, i0, axis=1)[:, 0]  # [TW]
-                t1 = jnp.take_along_axis(V, i1, axis=1)[:, 0]
-                mix = t0 * (1.0 - fxv[pr, :]) + t1 * fxv[pr, :]
+                # horizontal: masked lane-reduction (Mosaic's gather
+                # lowering does not take per-row indices): fold the
+                # horizontal weights into a two-hot mask and row-reduce
+                iota_c = jax.lax.broadcasted_iota(jnp.int32, (TW, TW), 1)
+                i0 = jnp.broadcast_to(l0v[pr, :][:, None], (TW, TW))
+                i1 = jnp.broadcast_to(l1v[pr, :][:, None], (TW, TW))
+                a0 = jnp.broadcast_to(
+                    (1.0 - fxv[pr, :])[:, None], (TW, TW)
+                )
+                a1 = jnp.broadcast_to(fxv[pr, :][:, None], (TW, TW))
+                Hm = jnp.where(iota_c == i0, a0, 0.0) + jnp.where(
+                    iota_c == i1, a1, 0.0
+                )
+                mix = jnp.sum(V * Hm, axis=1)
                 out_rows.append(mix[None, :])
             outs[g][0] = jnp.concatenate(out_rows, axis=0)
 
@@ -189,8 +197,6 @@ def main():
     def kern_mxu2(oyl_s, fxy_s, win_s, *outs):
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (KB, TW), 0) + KLO
         rows = win_s[0, 0, pl.ds(KLO, KB), :].astype(jnp.bfloat16)
-        one = jnp.ones((KB, TW), jnp.bfloat16)
-        zero = jnp.zeros((KB, TW), jnp.bfloat16)
         for g in range(G):
             oyv = oyl_s[0, g, :TH, :]
             lv = oyl_s[0, g, TH:, :]
@@ -204,8 +210,10 @@ def main():
             for pr in range(TH):
                 o0 = jnp.broadcast_to(oy0v[pr : pr + 1, :], (KB, TW))
                 o1 = jnp.broadcast_to(oy1v[pr : pr + 1, :], (KB, TW))
-                S0 = jnp.where(o0 == iota_k, one, zero)
-                S1 = jnp.where(o1 == iota_k, one, zero)
+                # f32 select then cast: an i1 select straight into
+                # (16,128)-tiled bf16 trips a Mosaic relayout bug
+                S0 = jnp.where(o0 == iota_k, 1.0, 0.0).astype(jnp.bfloat16)
+                S1 = jnp.where(o1 == iota_k, 1.0, 0.0).astype(jnp.bfloat16)
                 V0 = jax.lax.dot_general(
                     S0, rows, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -214,18 +222,18 @@ def main():
                     S1, rows, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                i0 = l0v[pr, :][:, None]
-                i1 = l1v[pr, :][:, None]
-                a0 = 1.0 - fxv[pr, :]
-                a1 = fxv[pr, :]
-                h0 = (
-                    jnp.take_along_axis(V0, i0, axis=1)[:, 0] * a0
-                    + jnp.take_along_axis(V0, i1, axis=1)[:, 0] * a1
+                iota_c = jax.lax.broadcasted_iota(jnp.int32, (TW, TW), 1)
+                i0 = jnp.broadcast_to(l0v[pr, :][:, None], (TW, TW))
+                i1 = jnp.broadcast_to(l1v[pr, :][:, None], (TW, TW))
+                a0 = jnp.broadcast_to(
+                    (1.0 - fxv[pr, :])[:, None], (TW, TW)
                 )
-                h1 = (
-                    jnp.take_along_axis(V1, i0, axis=1)[:, 0] * a0
-                    + jnp.take_along_axis(V1, i1, axis=1)[:, 0] * a1
+                a1 = jnp.broadcast_to(fxv[pr, :][:, None], (TW, TW))
+                Hm = jnp.where(iota_c == i0, a0, 0.0) + jnp.where(
+                    iota_c == i1, a1, 0.0
                 )
+                h0 = jnp.sum(V0 * Hm, axis=1)
+                h1 = jnp.sum(V1 * Hm, axis=1)
                 mix = h0 * (1.0 - fyv[pr, :]) + h1 * fyv[pr, :]
                 out_rows.append(mix[None, :])
             outs[g][0] = jnp.concatenate(out_rows, axis=0)
