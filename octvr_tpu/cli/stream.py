@@ -103,6 +103,15 @@ def main(argv=None):
         "bfloat16 on TPU, float32 elsewhere",
     )
     ap.add_argument(
+        "--drain",
+        default="host",
+        choices=("host", "checksum"),
+        help="checksum: value-sync a scalar per frame instead of "
+        "downloading it (measurement mode for the pipeline's "
+        "device-bound rate on transfer-bound links); writers/preview "
+        "are skipped",
+    )
+    ap.add_argument(
         "--timers",
         action="store_true",
         help="print per-stage [Timer stitch] upload/dispatch/drain ms "
@@ -206,6 +215,7 @@ def main(argv=None):
         gain_modes=gain_modes,
         timers=args.timers,
         donate=(args.source != "synthetic"),
+        drain=args.drain,
     )
     timer = Timer("stream")
     t_start = time.time()
@@ -274,10 +284,11 @@ def main(argv=None):
     def drain_one():
         nonlocal n_popped
         outs = amm.pop()
-        for wtr, o in zip(writers, outs):
-            wtr.push(o)
-        write_preview(outs, n_popped)
-        publish_shm(outs, n_popped)
+        if args.drain == "host":
+            for wtr, o in zip(writers, outs):
+                wtr.push(o)
+            write_preview(outs, n_popped)
+            publish_shm(outs, n_popped)
         n_popped += 1
         if n_popped % 10 == 0:
             # read-only: the drain thread already ticks the meter once

@@ -56,8 +56,18 @@ class AsyncMultiMapper:
         timers: bool = False,
         timer_interval: int = 10,
         donate: bool = True,
+        drain: str = "host",
     ):
+        """drain: "host" downloads each output frame (np.asarray — the
+        normal consumer path); "checksum" value-syncs a strided scalar
+        reduction instead (forces full device execution, ~8 bytes D2H)
+        — the measurement mode for the pipeline's device-bound rate on
+        links where frame D2H dominates (the hosted tunnel moves
+        ~33 MB/s; production PCIe ≥ 10 GB/s)."""
         import jax
+
+        assert drain in ("host", "checksum")
+        self.drain_mode = drain
 
         self._jax = jax
         self.mappers = mappers
@@ -210,6 +220,9 @@ class AsyncMultiMapper:
         while True:
             item = self._flight_q.get()
             if isinstance(item, _Stop):
+                if getattr(self, "_last_chk", None) is not None:
+                    for s in self._last_chk:
+                        float(s)  # final value-sync (checksum mode)
                 self._out_q.put(_STOP)
                 return
             t0 = time.perf_counter()
@@ -229,7 +242,27 @@ class AsyncMultiMapper:
                     time.perf_counter() - t0
                 ) * 1e3
                 continue
-            host = [np.asarray(o) for o in item]  # blocks until ready
+            if self.drain_mode == "checksum":
+                import jax.numpy as jnp
+
+                # one strided scalar per output, dispatched every frame
+                # (the device executes every frame); the blocking fetch
+                # is amortized over 8 frames — the hosted tunnel's
+                # dispatch->sync round trip (~35 ms) would otherwise
+                # serialize the measurement.  The LAST frame always
+                # syncs (close()/_STOP path) so end-of-stream wall time
+                # covers all device work.
+                scal = [
+                    jnp.sum(o[::101, ::103].astype(jnp.int32))
+                    for o in item
+                ]
+                self._last_chk = scal
+                if self._stage_n % 8 == 7:
+                    host = [float(s) for s in scal]
+                else:
+                    host = [0.0 for _ in scal]
+            else:
+                host = [np.asarray(o) for o in item]  # blocks until ready
             self._stage_ms["drain"] += (time.perf_counter() - t0) * 1e3
             self._stage_n += 1
             if self._timers_on and self._stage_n % self._timer_interval == 0:
