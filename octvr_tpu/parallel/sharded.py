@@ -125,6 +125,16 @@ class ShardedPlan:
     # common case: side cameras, or S == 1 — placement is a STATIC
     # slice), else None and the offset rides in the roi_oy leaf
     roi_oy_static: tuple = ()
+    # per-shard SOURCE-row windows: each shard preps/gathers only the
+    # camera rows its band's maps sample, so the input stage divides
+    # with S instead of being a fixed full-resolution cost (the source-
+    # side analogue of the per-output ROI fan-out, async.cpp:247-259).
+    # src_h[i]: sliced source height (== camera height -> no slicing);
+    # src_row0_static[i]: row offset when identical on every shard,
+    # else None and the offset rides in the src_row0 leaf
+    src_h: tuple = ()
+    src_row0_static: tuple = ()
+    src_row0: object = None  # [S, ncam+nov] i32
     # sharded constants, leading axis S
     roi_oy: object = None  # [S, ncam+nov] i32 per-shard band-row offsets
     remap: object = None  # BatchedRemapPlan with [S, ...] leaves
@@ -191,6 +201,7 @@ register_plan(
     ShardedPlan,
     children=(
         "roi_oy",
+        "src_row0",
         "remap",
         "remap_uv",
         "remap_groups",
@@ -260,6 +271,8 @@ register_plan(
         "ghalo",
         "rois",
         "roi_oy_static",
+        "src_h",
+        "src_row0_static",
     ),
 )
 
@@ -267,6 +280,7 @@ register_plan(
 # replicated
 _SPACE_FIELDS = (
     "roi_oy",
+    "src_row0",
     "remap",
     "remap_uv",
     "remap_groups",
@@ -672,10 +686,66 @@ def build_sharded_plan(
         ]
         for s in range(S)
     ]
+    # ---- per-shard SOURCE-row windows: compute the camera rows each
+    # shard's window maps actually sample; the input prep and gather
+    # tables then run on that slice (group-uniform height so per-shard
+    # plans still stack leaf-wise)
+    src_h = [0] * ntotal
+    src_row0 = np.zeros((S, ntotal), dtype=np.int32)
+    spans = np.zeros((S, ntotal, 2), dtype=np.int64)
+    for i in range(ntotal):
+        Hi = in_sizes[i][0]
+        for s in range(S):
+            m2 = band_maps[s][i][1]
+            valid = m2 >= 0
+            if valid.any():
+                py = m2[valid].astype(np.float64) * Hi - 0.5
+                lo = max(0, int(np.floor(py.min())) - 4)
+                hi_ = min(Hi, int(np.ceil(py.max())) + 5)
+            else:
+                lo, hi_ = 0, min(Hi, 8)
+            spans[s, i] = (lo, hi_)
+    for idxs in group_idx:
+        Hi = in_sizes[idxs[0]][0]
+        h_g = 0
+        for i in idxs:
+            h_g = max(h_g, int((spans[:, i, 1] - spans[:, i, 0]).max()))
+        h_g = min(Hi, _round_up(h_g, 4) + 4)
+        if Hi - h_g < 16 or S == 1:
+            h_g = Hi  # not worth slicing
+        for i in idxs:
+            src_h[i] = h_g
+            for s in range(S):
+                lo = min(max(0, int(spans[s, i, 0])), Hi - h_g)
+                src_row0[s, i] = (lo // 2) * 2
+    src_h = tuple(src_h)
+    src_static = tuple(
+        (
+            int(src_row0[0, i])
+            if all(src_row0[s, i] == src_row0[0, i] for s in range(S))
+            else None
+        )
+        for i in range(ntotal)
+    )
+    # rebase the window maps onto the sliced source: py' = py - row0,
+    # normalized by the sliced height
+    for i in range(ntotal):
+        Hi = in_sizes[i][0]
+        if src_h[i] >= Hi:
+            continue
+        for s in range(S):
+            m1, m2 = band_maps[s][i]
+            valid = m2 >= 0
+            m2b = m2.copy()
+            m2b[valid] = (
+                m2[valid].astype(np.float64) * Hi - src_row0[s, i]
+            ) / src_h[i]
+            band_maps[s][i] = (m1, m2b.astype(np.float32))
+
     remap_groups = tuple(
         _homogenized_band_remap(
             [[band_maps[s][i] for i in idxs] for s in range(S)],
-            in_sizes[idxs[0]][0],
+            src_h[idxs[0]],
             in_sizes[idxs[0]][1],
             paired=(pipeline == "yuv420"),
         )
@@ -713,6 +783,9 @@ def build_sharded_plan(
         rois=tuple(rois),
         roi_oy_static=tuple(oy_static),
         roi_oy=oy_table,
+        src_h=src_h,
+        src_row0_static=src_static,
+        src_row0=src_row0,
     )
 
     bh2, halo2 = bh // 2, halo // 2
@@ -778,10 +851,31 @@ def build_sharded_plan(
             ]
             for s in range(S)
         ]
+        # rebase chroma maps onto the sliced half-res source (row0/2,
+        # h/2; the full-res margin of +-4 rows covers the chroma taps)
+        for i in range(ntotal):
+            Hi2 = in_sizes[i][0] // 2
+            if src_h[i] >= in_sizes[i][0]:
+                continue
+            for s in range(S):
+                m1, m2 = band_maps_uv[s][i]
+                valid = m2 >= 0
+                if valid.any():
+                    py = m2[valid].astype(np.float64) * Hi2 - 0.5
+                    lo2 = src_row0[s, i] // 2
+                    assert py.min() >= lo2 - 1 and py.max() <= (
+                        lo2 + src_h[i] // 2
+                    ), "chroma taps escape the source-row slice"
+                m2b = m2.copy()
+                m2b[valid] = (
+                    m2[valid].astype(np.float64) * Hi2
+                    - src_row0[s, i] // 2
+                ) / (src_h[i] // 2)
+                band_maps_uv[s][i] = (m1, m2b.astype(np.float32))
         plan.remap_uv_groups = tuple(
             _homogenized_band_remap(
                 [[band_maps_uv[s][i] for i in idxs] for s in range(S)],
-                in_sizes[idxs[0]][0] // 2,
+                src_h[idxs[0]] // 2,
                 in_sizes[idxs[0]][1] // 2,
                 paired=True,
             )
@@ -1271,6 +1365,52 @@ def _win_oy(plan: ShardedPlan, i: int, div: int = 1):
     return plan.roi_oy[i] // div
 
 
+def _src_row0(plan: ShardedPlan, i: int, div: int = 1):
+    """Input i's source-row slice offset (static when identical on
+    every shard, else the tiny per-shard leaf)."""
+    o = plan.src_row0_static[i]
+    if o is not None:
+        return o // div
+    return plan.src_row0[i] // div
+
+
+def _slice_src(plan: ShardedPlan, buf, i):
+    """Per-shard source-row slice of a packed YUV420P/NV12 camera
+    buffer: luma rows [row0, row0+src_h) plus the matching chroma-block
+    rows, reassembled as a valid packed buffer of height src_h*3/2.
+    The remap plans are rebased onto this slice at build time, so the
+    input prep (split/vignette/pack) runs at slice size — the per-chip
+    input work divides with S (src windows, ShardedPlan.src_h)."""
+    Hi = buf.shape[0] * 2 // 3
+    h = plan.src_h[i]
+    if h >= Hi:
+        return buf
+    Wi = buf.shape[1]
+    r0 = _src_row0(plan, i)
+    if isinstance(r0, (int, np.integer)):
+        y = buf[r0 : r0 + h]
+        uv = buf[Hi + r0 // 2 : Hi + r0 // 2 + h // 2]
+    else:
+        y = jax.lax.dynamic_slice(buf, (r0, 0), (h, Wi))
+        uv = jax.lax.dynamic_slice(
+            buf, (Hi + r0 // 2, 0), (h // 2, Wi)
+        )
+    return jnp.concatenate([y, uv], axis=0)
+
+
+def _slice_rows(plan: ShardedPlan, arr, i, h, div=1):
+    """Rows [row0/div, row0/div + h) of a per-input constant (vignette
+    maps) matching the source-row slice."""
+    if h >= arr.shape[0]:
+        return arr
+    r0 = _src_row0(plan, i, div=div)
+    if isinstance(r0, (int, np.integer)):
+        return arr[r0 : r0 + h]
+    return jax.lax.dynamic_slice(
+        arr, (r0,) + (0,) * (arr.ndim - 1), (h,) + arr.shape[1:]
+    )
+
+
 def _paste_add(dst, src, oy, ox):
     """dst[..., oy:oy+h, ox:ox+w] += src.  ``ox`` is always static;
     ``oy`` may be a traced per-shard scalar (dynamic_update_slice)."""
@@ -1670,13 +1810,14 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
 
     packed = []
     for i in range(ntotal):
-        buf = frames[i]
+        buf = _slice_src(plan, frames[i], i)
         if plan.frame_format == "nv12":
             buf = merge_yuv420p(*split_nv12(buf))
         rgb = yuv420p_to_rgb_planar(
             buf, up_cols=plan.chroma_up[buf.shape[1]]
         )
-        rgb = jnp.clip(rgb * plan.vignette[i][None], 0.0, 255.0)
+        vig = _slice_rows(plan, plan.vignette[i], i, rgb.shape[1])
+        rgb = jnp.clip(rgb * vig[None], 0.0, 255.0)
         packed.append(pack_rgb(rgb).reshape(rgb.shape[1], rgb.shape[2]))
 
     # multiband-bf16 plans take bf16 straight out of the kernel (the
@@ -1805,12 +1946,16 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
     )
     packs_y, packs_uv = [], []
     for i in range(ntotal):
+        buf = _slice_src(plan, frames[i], i)
         if plan.frame_format == "nv12":
-            y, u, v = split_nv12(frames[i])
+            y, u, v = split_nv12(buf)
         else:
-            y, u, v = split_yuv420p(frames[i])
-        yf = jnp.clip(y.astype(jnp.float32) * plan.vignette[i], 0.0, 255.0)
-        vh = plan.vignette_half[i]
+            y, u, v = split_yuv420p(buf)
+        vig = _slice_rows(plan, plan.vignette[i], i, y.shape[0])
+        yf = jnp.clip(y.astype(jnp.float32) * vig, 0.0, 255.0)
+        vh = _slice_rows(
+            plan, plan.vignette_half[i], i, y.shape[0] // 2, div=2
+        )
         uf = jnp.clip((u.astype(jnp.float32) - 128.0) * vh + 128.0, 0.0, 255.0)
         vf = jnp.clip((v.astype(jnp.float32) - 128.0) * vh + 128.0, 0.0, 255.0)
         yq = jnp.clip(jnp.round(yf), 0, 255).astype(jnp.int32)
