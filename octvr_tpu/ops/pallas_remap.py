@@ -592,6 +592,13 @@ class BatchedRemapPlan:
     #              rows 8-15 ox0|ox1<<16; sentinel 0x7FFF7FFF = skip
     fxy: object  # [grid_nt, G, 16, 128] f32: rows 0-7 fx, 8-15 fy
     res: tuple  # per input (res_out, res_idx, res_w)
+    # concat-source mode (per-input source HEIGHTS, e.g. per-shard
+    # source-row slices of different spans): the apply concatenates the
+    # per-input buffers along rows into ONE [sum hp_i, wp] source; the
+    # by/by2 tables and residual indices carry the per-input row-block
+    # offsets baked at build, so the kernel is unchanged (img index 0).
+    # () = classic stacked [N, H, W] mode.
+    concat_heights: tuple = ()  # per input (row_off, hp_i, h_i)
 
 
 register_plan(
@@ -618,6 +625,7 @@ register_plan(
         "out_shapes",
         "tile_offsets",
         "patches",
+        "concat_heights",
     ),
 )
 
@@ -872,11 +880,13 @@ PATCH_CANDIDATES = ((TH, TW), (16, 64), (32, 32))
 
 def choose_patches(maps, in_h, in_w):
     """Per-input tile patch shape by estimated fan cost (pole cameras'
-    source arcs favor square-ish patches)."""
+    source arcs favor square-ish patches).  ``in_h`` may be a per-input
+    list (concat-source mode)."""
+    hs = in_h if isinstance(in_h, (list, tuple)) else [in_h] * len(maps)
     patches = []
-    for m1, m2 in maps:
+    for (m1, m2), h in zip(maps, hs):
         costs = [
-            _patch_row_cost(m1, m2, in_h, in_w, p) for p in PATCH_CANDIDATES
+            _patch_row_cost(m1, m2, h, in_w, p) for p in PATCH_CANDIDATES
         ]
         patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
     return patches
@@ -912,17 +922,29 @@ def merge_remap_plans(
     ``prebuilt_plans`` (from a previous call's ``.per_input_plans``
     stash or built directly with :func:`pallas_remap_plan` at common
     (KH, KW)) skips the expensive per-input plan builds — grouping and
-    padding are cheap, so homogenization passes can reuse them."""
+    padding are cheap, so homogenization passes can reuse them.
+
+    ``in_h`` may be a LIST of per-input source heights (concat-source
+    mode): each input's buffer is its own height (e.g. a per-shard
+    source-row slice) and the apply concatenates them along rows into
+    one source; row-block offsets are baked into the by/by2 tables and
+    residual indices here, so the kernel is untouched."""
+    concat_mode = isinstance(in_h, (list, tuple))
+    heights = [int(h) for h in in_h] if concat_mode else [int(in_h)] * len(maps)
     if prebuilt_plans is not None:
         plans = prebuilt_plans
         KH, KW = plans[0].KH, plans[0].KW
     else:
-        patches = force_patches or choose_patches(maps, in_h, in_w)
+        patches = force_patches or choose_patches(
+            maps, heights if concat_mode else in_h, in_w
+        )
         probes = None
         if force_kh is None or force_kw is None:
             probes = [
-                pallas_remap_plan(m1, m2, in_h, in_w, patch=p, paired=paired)
-                for (m1, m2), p in zip(maps, patches)
+                pallas_remap_plan(
+                    m1, m2, heights[i], in_w, patch=p, paired=paired
+                )
+                for i, ((m1, m2), p) in enumerate(zip(maps, patches))
             ]
             force_kh = max(p.KH for p in probes)
             force_kw = max(p.KW for p in probes)
@@ -941,7 +963,7 @@ def merge_remap_plans(
             else:
                 plans.append(
                     pallas_remap_plan(
-                        m1, m2, in_h, in_w,
+                        m1, m2, heights[i], in_w,
                         force_kh=KH, force_kw=KW, patch=patches[i],
                         paired=paired,
                     )
@@ -1035,6 +1057,25 @@ def merge_remap_plans(
     bx_s = bx_g[first]
     by2_s = by2_g[first]
 
+    concat_heights = ()
+    if concat_mode:
+        # bake per-input row-BLOCK offsets into the window tables; the
+        # source becomes one concatenated [sum hp_i, wp] array and the
+        # image index collapses to 0 (each hp_i is a KH multiple, so
+        # block indices stay aligned)
+        hp_list = [-(-h // KH) * KH for h in heights]
+        row_off = np.concatenate([[0], np.cumsum(hp_list)[:-1]]).astype(
+            np.int64
+        )
+        blk_off = (row_off // KH).astype(by_s.dtype)
+        by_s = by_s + blk_off[img_s]
+        by2_s = by2_s + blk_off[img_s]
+        img_s = np.zeros_like(img_s)
+        concat_heights = tuple(
+            (int(row_off[i]), int(hp_list[i]), int(heights[i]))
+            for i in range(len(plans))
+        )
+
     # packed per-(step, g) operands; sentinel everywhere a slot is
     # unoccupied or a pixel is not kernel-covered
     oyx = np.full((grid_nt, G, 2 * TH, TW), SENTINEL, dtype=np.int32)
@@ -1081,8 +1122,12 @@ def merge_remap_plans(
         grid_nt = pad_grid_nt
 
     res = []
+    wp_in_res = max(-(-in_w // TW) * TW, 2 * KW)
     for i, p in enumerate(plans):
         ro, ri, rw_ = p.res_out, p.res_idx, p.res_w
+        if concat_mode:
+            # residual taps flat-index the concatenated source
+            ri = ri + np.int32(concat_heights[i][0] * wp_in_res)
         if pad_res is not None:
             want = pad_res[i]
             assert want >= ro.shape[0]
@@ -1100,7 +1145,11 @@ def merge_remap_plans(
         res.append((ro, ri, rw_))
 
     out_plan = BatchedRemapPlan(
-        in_shape=(in_h, in_w),
+        in_shape=(
+            (int(sum(h for _, h, _ in concat_heights)), in_w)
+            if concat_mode
+            else (in_h, in_w)
+        ),
         KH=KH,
         KW=KW,
         nt=start,
@@ -1119,6 +1168,7 @@ def merge_remap_plans(
         oyx=oyx,
         fxy=fxy,
         res=tuple(res),
+        concat_heights=concat_heights,
     )
     # non-pytree stash: homogenization passes (sharded path) reuse the
     # expensive per-input plans and only redo the cheap group/pad step
@@ -1165,6 +1215,23 @@ def pallas_remap_apply_batched(
 
     hp_in = -(-in_h // KH) * KH
     wp_in = max(-(-in_w // TW) * TW, 2 * KW)
+    if plan.concat_heights:
+        # concat-source mode: per-input buffers of their own heights,
+        # padded and concatenated along rows (offsets baked into the
+        # plan's by/by2 tables and residual indices at build)
+        assert not rowpack, "concat-source mode does not support rowpack"
+        segs = []
+        for (off, hp_i, h_i), buf in zip(plan.concat_heights, packed_stack):
+            segs.append(
+                jnp.pad(
+                    buf,
+                    (
+                        (0, hp_i - buf.shape[0]),
+                        (0, wp_in - buf.shape[1]),
+                    ),
+                )
+            )
+        packed_stack = jnp.concatenate(segs, axis=0)[None]
     if rowpack:
         assert nc == 1 and paired and in_h % 2 == 0 and KH % 16 == 0
         if (hp_in // 2, wp_in) != packed_stack.shape[1:]:
@@ -1176,7 +1243,7 @@ def pallas_remap_apply_batched(
                     (0, wp_in - in_w),
                 ),
             )
-    elif (hp_in, wp_in) != (in_h, in_w):
+    elif not plan.concat_heights and (hp_in, wp_in) != (in_h, in_w):
         packed_stack = jnp.pad(
             packed_stack, ((0, 0), (0, hp_in - in_h), (0, wp_in - in_w))
         )
@@ -1285,7 +1352,9 @@ def pallas_remap_apply_batched(
                 .reshape(nc, rh, rw)
             )
         elif res_out.shape[0]:
-            flat = packed_stack[i].reshape(-1)
+            flat = (
+                packed_stack[0] if plan.concat_heights else packed_stack[i]
+            ).reshape(-1)
             acc = jnp.zeros((nc, res_out.shape[0]), dtype=jnp.float32)
             for k in range(4):
                 gv = jnp.take(flat, res_idx[k])

@@ -359,15 +359,17 @@ def _stack_remap_plans(plans):
 def _homogenized_band_remap(band_maps, Hf, Wf, paired=False):
     """Per-shard batched remap plans over band map slices, homogenized
     (common patches, (KH, KW), group G, padded grids/residuals) and
-    stacked on a leading S axis."""
+    stacked on a leading S axis.  ``Hf`` may be a per-input list of
+    source heights (concat-source mode — per-shard src-row slices)."""
     from ..ops.pallas_remap import PATCH_CANDIDATES, _patch_row_cost
 
     n_in = len(band_maps[0])
+    hs = Hf if isinstance(Hf, (list, tuple)) else [Hf] * n_in
     patches = []
     for i in range(n_in):
         costs = [
             sum(
-                _patch_row_cost(bm[i][0], bm[i][1], Hf, Wf, p)
+                _patch_row_cost(bm[i][0], bm[i][1], hs[i], Wf, p)
                 for bm in band_maps
             )
             for p in PATCH_CANDIDATES
@@ -375,8 +377,10 @@ def _homogenized_band_remap(band_maps, Hf, Wf, paired=False):
         patches.append(PATCH_CANDIDATES[int(np.argmin(costs))])
     KH = KW = 0
     for bm in band_maps:
-        for (m1, m2), p in zip(bm, patches):
-            probe = pallas_remap_plan(m1, m2, Hf, Wf, patch=p, paired=paired)
+        for i, ((m1, m2), p) in enumerate(zip(bm, patches)):
+            probe = pallas_remap_plan(
+                m1, m2, hs[i], Wf, patch=p, paired=paired
+            )
             KH = max(KH, probe.KH)
             KW = max(KW, probe.KW)
     shard_plans = [
@@ -430,6 +434,7 @@ def build_sharded_plan(
     scale_output=None,
     frame_format: str = "yuv420p",
     coarse_split=None,
+    src_windows: bool = False,
 ) -> ShardedPlan:
     """Per-input aligned band ROIs (the reference's per-region
     ROI-cropped Mapper work, async.cpp:247-259 + the aligned-ROI
@@ -705,19 +710,23 @@ def build_sharded_plan(
             else:
                 lo, hi_ = 0, min(Hi, 8)
             spans[s, i] = (lo, hi_)
-    for idxs in group_idx:
-        Hi = in_sizes[idxs[0]][0]
-        h_g = 0
-        for i in idxs:
-            h_g = max(h_g, int((spans[:, i, 1] - spans[:, i, 0]).max()))
-        h_g = min(Hi, _round_up(h_g, 4) + 4)
-        if Hi - h_g < 16 or S == 1:
-            h_g = Hi  # not worth slicing
-        for i in idxs:
-            src_h[i] = h_g
-            for s in range(S):
-                lo = min(max(0, int(spans[s, i, 0])), Hi - h_g)
-                src_row0[s, i] = (lo // 2) * 2
+    for i in range(ntotal):
+        # per-INPUT slice heights: inputs of one size group keep their
+        # own heights via the concat-source kernel layout (row offsets
+        # baked into the window tables — no extra launches)
+        Hi = in_sizes[i][0]
+        h_i = int((spans[:, i, 1] - spans[:, i, 0]).max())
+        h_i = min(Hi, _round_up(h_i, 4) + 4)
+        if not src_windows or Hi - h_i < 16 or S == 1:
+            # measured FLAT at 4K (BASELINE r4): the input prep the
+            # slicing saves is small on the yuv420 path (~0.1 ms pack),
+            # and re-homogenized group KH can shift a shard's fan —
+            # opt-in until it wins somewhere concrete
+            h_i = Hi
+        src_h[i] = h_i
+        for s in range(S):
+            lo = min(max(0, int(spans[s, i, 0])), Hi - h_i)
+            src_row0[s, i] = (lo // 2) * 2
     src_h = tuple(src_h)
     src_static = tuple(
         (
@@ -745,7 +754,11 @@ def build_sharded_plan(
     remap_groups = tuple(
         _homogenized_band_remap(
             [[band_maps[s][i] for i in idxs] for s in range(S)],
-            src_h[idxs[0]],
+            (
+                [src_h[i] for i in idxs]
+                if any(src_h[i] < in_sizes[i][0] for i in idxs)
+                else in_sizes[idxs[0]][0]
+            ),
             in_sizes[idxs[0]][1],
             paired=(pipeline == "yuv420"),
         )
@@ -875,7 +888,11 @@ def build_sharded_plan(
         plan.remap_uv_groups = tuple(
             _homogenized_band_remap(
                 [[band_maps_uv[s][i] for i in idxs] for s in range(S)],
-                src_h[idxs[0]] // 2,
+                (
+                    [src_h[i] // 2 for i in idxs]
+                    if any(src_h[i] < in_sizes[i][0] for i in idxs)
+                    else in_sizes[idxs[0]][0] // 2
+                ),
                 in_sizes[idxs[0]][1] // 2,
                 paired=True,
             )
@@ -1828,8 +1845,9 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     # one batched kernel launch per equal-size camera group
     warped = [None] * ntotal
     for idxs, rp in zip(plan.group_idx, plan.remap_groups):
+        srcs = [packed[i] for i in idxs]
         outs = pallas_remap_apply_batched(
-            jnp.stack([packed[i] for i in idxs]),
+            srcs if rp.concat_heights else jnp.stack(srcs),
             rp,
             interpret=interpret,
             out_dtype=remap_dtype,
@@ -1970,16 +1988,18 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
     for idxs, rp_y, rp_uv in zip(
         plan.group_idx, plan.remap_groups, plan.remap_uv_groups
     ):
+        src_y = [packs_y[i] for i in idxs]
         outs_y = pallas_remap_apply_batched(
-            jnp.stack([packs_y[i] for i in idxs]),
+            src_y if rp_y.concat_heights else jnp.stack(src_y),
             rp_y,
             interpret=interpret,
             out_dtype=remap_dtype,
             nc=1,
             paired=True,
         )  # per input [1, hmax_i, iw_i] (window-sized)
+        src_uv = [packs_uv[i] for i in idxs]
         outs_uv = pallas_remap_apply_batched(
-            jnp.stack([packs_uv[i] for i in idxs]),
+            src_uv if rp_uv.concat_heights else jnp.stack(src_uv),
             rp_uv,
             interpret=interpret,
             out_dtype=remap_dtype,
@@ -2153,6 +2173,7 @@ class ShardedMapper:
         scale_output=None,
         frame_format: str = "yuv420p",
         coarse_split=None,
+        src_windows: bool = False,
     ):
         assert out_format in ("yuv420p", "rgb")
         W0, H0 = mt.out_size
@@ -2187,6 +2208,7 @@ class ShardedMapper:
             scale_output=scale_output,
             frame_format=frame_format,
             coarse_split=coarse_split,
+            src_windows=src_windows,
         )
         interpret = jax.devices()[0].platform != "tpu"
 

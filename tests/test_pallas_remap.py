@@ -232,3 +232,45 @@ def test_pallas_remap_rowpack():
         rowpack=True,
     )[0]
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-3
+
+
+def test_pallas_remap_concat_source():
+    """Concat-source mode: per-input source HEIGHTS (sliced buffers)
+    with row offsets baked into the window tables — one kernel, no
+    per-input launch split.  Output must match the classic stacked
+    path bit-for-bit, including residual taps."""
+    rng = np.random.default_rng(9)
+    in_h, in_w = 96, 256
+    m1a, m2a = _arc_maps(64, 256)
+    # input B samples only source rows ~[40, 70)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, 64), np.linspace(0, 1, 256), indexing="ij"
+    )
+    m1b = (0.1 + 0.8 * xx).astype(np.float32)
+    m2b = ((42 + 26 * yy) / in_h).astype(np.float32)
+    m1b[5:9, 40:80] = -1
+    m2b[5:9, 40:80] = -1
+
+    img = rng.integers(0, 255, (in_h, in_w)).astype(np.int32)
+    imgj = jnp.asarray(img)
+
+    bp_classic = merge_remap_plans(
+        [(m1a, m2a), (m1b, m2b)], in_h, in_w
+    )
+    ref = pallas_remap_apply_batched(
+        jnp.stack([imgj, imgj]), bp_classic, interpret=True, nc=1
+    )
+
+    # slice input B to rows [36, 76) and rebase its map
+    lo, h_b = 36, 40
+    m2b_s = ((m2b * in_h) - lo) / h_b
+    m2b_s = np.where(m2b < 0, -1.0, m2b_s).astype(np.float32)
+    bp_cat = merge_remap_plans(
+        [(m1a, m2a), (m1b, m2b_s)], [in_h, h_b], in_w
+    )
+    assert bp_cat.concat_heights and bp_cat.concat_heights[1][2] == h_b
+    got = pallas_remap_apply_batched(
+        [imgj, imgj[lo : lo + h_b]], bp_cat, interpret=True, nc=1
+    )
+    for r, g in zip(ref, got):
+        assert np.abs(np.asarray(r) - np.asarray(g)).max() < 1e-3

@@ -58,6 +58,7 @@ def main():
     ap.add_argument("--ici", type=float, default=45e9,
                     help="assumed per-chip ICI bandwidth, bytes/s")
     ap.add_argument("--blend", type=int, default=None)
+    ap.add_argument("--no-gain", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--scale", type=int, default=1,
                     help="divide rig geometry by this (CPU smoke runs)")
@@ -126,7 +127,7 @@ def main():
             [(cam, cam)] * 6,
             S,
             blend=blend,
-            enable_gain=True,
+            enable_gain=not args.no_gain,
             blend_dtype="bfloat16",
             pipeline="yuv420",
         )
