@@ -25,7 +25,13 @@ TOOL = os.path.join(
 )
 
 
-def test_two_process_distributed_stitch():
+@pytest.mark.parametrize("blend", [8, 32])
+def test_two_process_distributed_stitch(blend):
+    """blend=8: single-level band blend (no image bytes cross chips).
+    blend=32: the two-level split is active, so the level-L Gaussian
+    all-gather is a REAL cross-process collective over the 'space'
+    axis — the sharded design's only image-byte exchange, exercised
+    across an actual process boundary."""
     p = subprocess.run(
         [
             sys.executable,
@@ -34,7 +40,7 @@ def test_two_process_distributed_stitch():
             "--devices-per-proc", "2",
             "--cam", "96",
             "--canvas", "192x96",
-            "--blend", "8",
+            "--blend", str(blend),
             "--iters", "1",
             "--pipeline", "yuv420",
         ],
