@@ -62,12 +62,13 @@ def test_sharded_matches_single_chip(setup, blend):
     rgb_shard = np.asarray(yuv420p_to_rgb(jnp.asarray(yuv)))
 
     err = np.abs(rgb_shard - rgb_single)
-    # remap + gains are bit-comparable; the blend differs only in
-    # boundary handling (full-width bands vs aligned ROIs), confined to
-    # the canvas frame rows/cols
-    assert err.mean() < 1.0, f"mean err {err.mean()}"
+    # round 4: reflect-101 extension of maps/weights about the union
+    # box makes even the canvas-edge rows match the single chip, so the
+    # old boundary allowance (mean < 1.0, interior < 0.5) tightens to
+    # quantization noise
+    assert err.mean() < 0.1, f"mean err {err.mean()}"
     interior = err[8:-8, 8:-8]
-    assert interior.mean() < 0.5, f"interior mean {interior.mean()}"
+    assert interior.mean() < 0.05, f"interior mean {interior.mean()}"
 
     # both batch elements identical (same frames)
     np.testing.assert_array_equal(out_m[0], out_m[1])
