@@ -174,12 +174,12 @@ def test_sharded_yuv420_pipeline(setup):
     y_err = np.abs(
         yuv_sh[:h].astype(np.float32) - out_s[:h].astype(np.float32)
     )
-    # interior rows (band boundaries see different pyramid supports)
-    assert y_err[4:-4].mean() < 1.5, y_err[4:-4].mean()
+    # round 4: edge rows match too (reflect extension); full-plane bars
+    assert y_err.mean() < 0.1, y_err.mean()
     c_err = np.abs(
         yuv_sh[h:].astype(np.float32) - out_s[h:].astype(np.float32)
     )
-    assert c_err[2:-2].mean() < 2.0, c_err[2:-2].mean()
+    assert c_err.mean() < 0.2, c_err.mean()
 
     g_sh = np.asarray(sm.stitch_batch(batch)[1])[0]
     np.testing.assert_allclose(g_sh, np.asarray(gains_s), rtol=5e-3, atol=5e-3)
