@@ -205,10 +205,24 @@ def default_path_regression():
     )
 
 
-def main():
+def main(argv=None):
+    import argparse
     import os
 
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--batch",
+        default=os.environ.get("OCTVR_BATCH", "auto"),
+        help="frame sets per jitted call: an int B (1 = per-frame "
+        "latency loop), or 'auto' = measure B=1 and B=4 and report the "
+        "best frames/s/chip (throughput mode: the frames_axis pallas "
+        "grid serves all B frames per launch, amortizing the ~0.7 ms x "
+        "2 per-launch + dispatch fixed costs the latency floor "
+        "analysis isolates — docs/kernel-notes.md)",
+    )
+    args = ap.parse_args(argv)
 
     # persistent compilation cache: the first 4K compile costs ~10 min
     # through the remote Mosaic helper; cache it next to the repo
@@ -299,13 +313,60 @@ def main():
     fps = 1.0 / dt
     print(f"# steady-state {dt*1e3:.1f} ms/frame (value-synced)", file=sys.stderr)
 
+    def measure_batched(B):
+        """Effective frames/s/chip stitching B frame sets per jitted
+        call (VERDICT r4 next #2): same frames, B per program."""
+        n_calls = max(1, ITERS // B)
+        batched = []
+        for c in range(n_calls):
+            sets = [frame_sets[(c * B + b) % ITERS] for b in range(B)]
+            batched.append(
+                tuple(
+                    jnp.stack([sets[b][i] for b in range(B)])
+                    for i in range(6)
+                )
+            )
+        jax.block_until_ready(batched)
+        t0 = time.time()
+        ob, _ = mapper.stitch_batch(batched[0])
+        _s = float(jnp.sum(ob[::3, ::101, ::103].astype(jnp.int32)))
+        print(
+            f"# batch={B}: first call (compile+run) {time.time()-t0:.1f}s "
+            f"(checksum {int(_s)})",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        obs = [mapper.stitch_batch(bf)[0] for bf in batched]
+        _s = float(jnp.sum(obs[-1][::3, ::101, ::103].astype(jnp.int32)))
+        dtb = (time.time() - t0) / (n_calls * B)
+        print(
+            f"# batch={B}: steady-state {dtb*1e3:.2f} ms/frame "
+            f"({1.0/dtb:.1f} fps effective, value-synced)",
+            file=sys.stderr,
+        )
+        return 1.0 / dtb
+
+    best_fps, best_b = fps, 1
+    if args.batch == "auto":
+        bs = (4,)
+    elif int(args.batch) > 1:
+        bs = (int(args.batch),)
+    else:
+        bs = ()
+    for B in bs:
+        f = measure_batched(B)
+        if f > best_fps:
+            best_fps, best_b = f, B
+
     print(
         json.dumps(
             {
                 "metric": "stitched_4k_fps_per_chip_6cam",
-                "value": round(fps, 3),
+                "value": round(best_fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": round(best_fps / BASELINE_FPS, 3),
+                "batch": best_b,
+                "latency_fps_b1": round(fps, 3),
             }
         )
     )

@@ -55,8 +55,20 @@ class FramePair:
         with self._lock:
             self._waiting = frame
             self._full.notify_all()
-            while self._waiting is not None and not self.stopping:
+            # also exit when the FRONT feed ends (mirrors pair_front's
+            # back_done check): neither feed ordering may park a
+            # producer waiting on a consumer that already finished
+            while (
+                self._waiting is not None
+                and not self.stopping
+                and not self.front_done
+            ):
                 self._empty.wait(timeout=0.1)
+
+    def finish_front(self):
+        with self._lock:
+            self.front_done = True
+            self._empty.notify_all()
 
     def pair_front(self, frame):
         """Returns (back, front), or None when stopping or the back
@@ -115,7 +127,7 @@ def reader_thread(path, frame_bytes, h, w, pair, index, max_frames):
     if index == 0:
         pair.finish_back()
     else:
-        pair.front_done = True
+        pair.finish_front()
 
 
 class RawSink:

@@ -178,6 +178,18 @@ def main(argv=None):
         )
         if mesh is not None:
             pl = None if args.pipeline == "auto" else args.pipeline
+            # same platform default as the single-chip Mapper (bf16 on
+            # TPU — the published bench/projection configuration)
+            if args.blend_dtype is None:
+                import jax
+
+                bd = (
+                    "bfloat16"
+                    if jax.devices()[0].platform == "tpu"
+                    else "float32"
+                )
+            else:
+                bd = args.blend_dtype
             mappers.append(
                 ShardedMapper(
                     mt,
@@ -186,10 +198,13 @@ def main(argv=None):
                     blend=blend,
                     enable_gain=gain_mode >= 0,
                     pipeline=pl,
-                    blend_dtype=args.blend_dtype or "float32",
+                    blend_dtype=bd,
                 )
             )
-            gain_modes.append(-1 if gain_mode < 0 else k)
+            # copy modes (gain_mode == other output's index) are honored
+            # sharded too: ShardedMapper.stitch_batch(gains=) injection,
+            # async.cpp:75-91 semantics
+            gain_modes.append(gain_mode)
         else:
             mappers.append(
                 Mapper(

@@ -1182,7 +1182,9 @@ def getattr_cat(plans, field):
 
 @partial(
     jax.jit,
-    static_argnames=("interpret", "out_dtype", "nc", "paired", "rowpack"),
+    static_argnames=(
+        "interpret", "out_dtype", "nc", "paired", "rowpack", "frames_axis"
+    ),
 )
 def pallas_remap_apply_batched(
     packed_stack,
@@ -1192,6 +1194,7 @@ def pallas_remap_apply_batched(
     nc=3,
     paired=False,
     rowpack=False,
+    frames_axis=False,
 ):
     """packed_stack: int32 [N, H, W] with ``nc`` channels byte-packed
     per element (low byte first; nc=1 stores the raw value).  Returns a
@@ -1208,13 +1211,33 @@ def pallas_remap_apply_batched(
     ``rowpack`` (nc == 1, paired): packed_stack is [N, H/2, W] from
     pack_pair_rows — two source rows per int32, ONE gather per two rows
     (see _kernel_grouped).  Needs plan KH % 16 == 0
-    (merge_remap_plans(kh_multiple=16))."""
+    (merge_remap_plans(kh_multiple=16)).
+
+    ``frames_axis``: packed_stack carries a leading FRAME axis B
+    ([B, N, H, W]; concat mode: per-input list of [B, h_i, W]) and the
+    grid runs B*grid_nt steps in ONE pallas launch — the per-launch
+    overhead (~0.7 ms/launch measured at 4K) amortizes by 1/B, the
+    single biggest non-dividing cost in the sharded S>=4 slice and the
+    single-chip throughput plateau (docs/kernel-notes.md "S>=4 scaling
+    falloff decomposed").  The kernel body is unchanged: the tiny
+    scalar-prefetch tables are tiled per frame (img offsets shifted to
+    each frame's source block) while the 30+ MB oyx/fxy tile operands
+    are reused via a t %% grid_nt index map.  Returns per input
+    [B, nc, rh, rw]."""
     in_h, in_w = plan.in_shape
     KH, KW, nt, G = plan.KH, plan.KW, plan.nt, plan.G
     nb = KW // TW
 
     hp_in = -(-in_h // KH) * KH
     wp_in = max(-(-in_w // TW) * TW, 2 * KW)
+    B = 1
+    if frames_axis:
+        assert not rowpack, "frames_axis does not support rowpack"
+        B = (
+            packed_stack[0].shape[0]
+            if plan.concat_heights
+            else packed_stack.shape[0]
+        )
     if plan.concat_heights:
         # concat-source mode: per-input buffers of their own heights,
         # padded and concatenated along rows (offsets baked into the
@@ -1225,13 +1248,17 @@ def pallas_remap_apply_batched(
             segs.append(
                 jnp.pad(
                     buf,
-                    (
-                        (0, hp_i - buf.shape[0]),
-                        (0, wp_in - buf.shape[1]),
+                    ((0, 0),) * (buf.ndim - 2)
+                    + (
+                        (0, hp_i - buf.shape[-2]),
+                        (0, wp_in - buf.shape[-1]),
                     ),
                 )
             )
-        packed_stack = jnp.concatenate(segs, axis=0)[None]
+        packed_stack = jnp.concatenate(segs, axis=-2)
+        packed_stack = (
+            packed_stack if frames_axis else packed_stack[None]
+        )
     if rowpack:
         assert nc == 1 and paired and in_h % 2 == 0 and KH % 16 == 0
         if (hp_in // 2, wp_in) != packed_stack.shape[1:]:
@@ -1243,13 +1270,45 @@ def pallas_remap_apply_batched(
                     (0, wp_in - in_w),
                 ),
             )
-    elif not plan.concat_heights and (hp_in, wp_in) != (in_h, in_w):
+    elif not plan.concat_heights and (hp_in, wp_in) != packed_stack.shape[-2:]:
         packed_stack = jnp.pad(
-            packed_stack, ((0, 0), (0, hp_in - in_h), (0, wp_in - in_w))
+            packed_stack,
+            ((0, 0),) * (packed_stack.ndim - 2)
+            + ((0, hp_in - packed_stack.shape[-2]),
+               (0, wp_in - packed_stack.shape[-1])),
         )
+    # frame-batched source: fold the frame axis into the image axis
+    # ([B, N, hp, wp] -> [B*N, hp, wp]) and shift each frame's img
+    # indices to its block; the big tile operands (oyx/fxy) are shared
+    # across frames through a t %% grid_nt index map below.  concat
+    # mode already folded its inputs into ONE row-concatenated block
+    # per frame, so n_img == 1 there.
+    n_img = None
+    if frames_axis:
+        n_img = 1 if plan.concat_heights else packed_stack.shape[1]
+    img_t, by_t, bx_t, by2_t, rng_t = (
+        plan.img, plan.by, plan.bx, plan.by2, plan.rng
+    )
+    if frames_axis:
+        packed_stack = packed_stack.reshape(
+            B * n_img, *packed_stack.shape[-2:]
+        )
+        img_t = (
+            plan.img[None, :] + (jnp.arange(B, dtype=plan.img.dtype)
+                                 * n_img)[:, None]
+        ).reshape(-1)
+        by_t = jnp.tile(plan.by, B)
+        bx_t = jnp.tile(plan.bx, B)
+        by2_t = jnp.tile(plan.by2, B)
+        rng_t = jnp.tile(plan.rng, B)
 
+    gnt = plan.grid_nt
     tile_spec = pl.BlockSpec(
-        (1, G, 2 * TH, TW), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, G, 2 * TH, TW),
+        (lambda t, *_: (t % gnt, 0, 0, 0))
+        if frames_axis
+        else (lambda t, *_: (t, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
         (1, G, TH, TW),
@@ -1271,23 +1330,26 @@ def pallas_remap_apply_batched(
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(plan.grid_nt,),
+        grid=(B * plan.grid_nt,),
         in_specs=[tile_spec, tile_spec] + win_specs,
         out_specs=[out_spec] * nc,
     )
     odt = jnp.dtype(out_dtype)
-    shape = jax.ShapeDtypeStruct((plan.grid_nt, G, TH, TW), odt)
+    shape = jax.ShapeDtypeStruct((B * plan.grid_nt, G, TH, TW), odt)
+    # NOTE the kernel body needs no frame awareness: its only use of
+    # program_id is indexing rng_s, and the tiled rng table makes
+    # rng_t[(t*G+g)*2nb+b] == rng[((t%gnt)*G+g)*2nb+b] exactly
     chans = pl.pallas_call(
         _kernel_grouped(KH, KW, nb, G, nc=nc, paired=paired, rowpack=rowpack),
         grid_spec=grid_spec,
         out_shape=[shape] * nc,
         interpret=interpret,
     )(
-        plan.img,
-        plan.by,
-        plan.bx,
-        plan.by2,
-        plan.rng,
+        img_t,
+        by_t,
+        bx_t,
+        by2_t,
+        rng_t,
         plan.oyx,
         plan.fxy,
         *([packed_stack] * (4 * nb)),
@@ -1297,11 +1359,22 @@ def pallas_remap_apply_batched(
     # tiles — where, not multiply, since slot 0 holds real data
     zero = jnp.zeros((), dtype=odt)
     g2c = jnp.asarray(plan.g2c)
-    tm = jnp.asarray(plan.tmask)[:, None, None] > 0
-    chans = [
-        jnp.where(tm, jnp.take(ch.reshape(-1, TH, TW), g2c, axis=0), zero)
-        for ch in chans
-    ]
+    if frames_axis:
+        tm = jnp.asarray(plan.tmask)[None, :, None, None] > 0
+        chans = [
+            jnp.where(
+                tm,
+                jnp.take(ch.reshape(B, -1, TH, TW), g2c, axis=1),
+                zero,
+            )
+            for ch in chans
+        ]
+    else:
+        tm = jnp.asarray(plan.tmask)[:, None, None] > 0
+        chans = [
+            jnp.where(tm, jnp.take(ch.reshape(-1, TH, TW), g2c, axis=0), zero)
+            for ch in chans
+        ]
 
     def unpack_ch(gv, ch):
         # residual taps address exact (y, x) pixels, so channel ch lives
@@ -1321,6 +1394,13 @@ def pallas_remap_apply_batched(
         start = plan.tile_offsets[i]
 
         def untile(a, ph=ph, pw=pw, nty=nty, ntx=ntx, start=start, rh=rh, rw=rw):
+            if frames_axis:
+                return (
+                    a[:, start : start + nty * ntx]
+                    .reshape(B, nty, ntx, ph, pw)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(B, nty * ph, ntx * pw)[:, :rh, :rw]
+                )
             return (
                 a[start : start + nty * ntx]
                 .reshape(nty, ntx, ph, pw)
@@ -1328,7 +1408,8 @@ def pallas_remap_apply_batched(
                 .reshape(nty * ph, ntx * pw)[:rh, :rw]
             )
 
-        out = jnp.stack([untile(ch) for ch in chans])
+        # channel axis sits after the frame axis: [B, nc, rh, rw]
+        out = jnp.stack([untile(ch) for ch in chans], axis=1 if frames_axis else 0)
         res_out, res_idx, res_w = plan.res[i]
         if res_out.shape[0] and rowpack:
             # res_idx holds full-res flat taps [y0x0, y0x1, y1x0, y1x1];
@@ -1350,6 +1431,26 @@ def pallas_remap_apply_batched(
                 .at[:, res_out]
                 .add(acc.astype(odt))
                 .reshape(nc, rh, rw)
+            )
+        elif res_out.shape[0] and frames_axis:
+            # per-frame residual taps: the folded image axis places
+            # frame b's input i at block b*n_img + (0 if concat else i)
+            ii = 0 if plan.concat_heights else i
+            flat = packed_stack.reshape(B, n_img, -1)[:, ii]
+            acc = jnp.zeros(
+                (B, nc, res_out.shape[0]), dtype=jnp.float32
+            )
+            for k in range(4):
+                gv = jnp.take(flat, res_idx[k], axis=1)  # [B, nres]
+                cs = jnp.stack(
+                    [unpack_ch(gv, ch) for ch in range(nc)], axis=1
+                )
+                acc = acc + cs * res_w[k][None, None]
+            out = (
+                out.reshape(B, nc, -1)
+                .at[:, :, res_out]
+                .add(acc.astype(odt))
+                .reshape(B, nc, rh, rw)
             )
         elif res_out.shape[0]:
             flat = (

@@ -195,6 +195,12 @@ class ShardedPlan:
     pool_cols_roi_uv: object = None  # dict {iw/2: [iw/2, iw/stride]}
     down_mats: dict = field(default_factory=dict)  # {n: [n/2, n]}
     up_mats: dict = field(default_factory=dict)  # {n: [2n, n]}
+    # single-device emulation of an S-way mesh (tools/
+    # scaling_projection.py ONLY): allows the split blend's all-gather
+    # shape shortfall to be tiled up for timing-faithful runs.  Off by
+    # default: a real mesh must never silently produce tiled (value-
+    # wrong) frames (round-5 advisor fix).
+    emulate_space: bool = False
 
 
 register_plan(
@@ -273,6 +279,7 @@ register_plan(
         "roi_oy_static",
         "src_h",
         "src_row0_static",
+        "emulate_space",
     ),
 )
 
@@ -1765,7 +1772,23 @@ def _blend_windows_split(
         # single-device emulation of an S-way mesh (tools/
         # scaling_projection.py): replicate the local band rows so the
         # coarse path runs at true global size — timing-faithful; value
-        # parity is covered by the real multi-device mesh tests
+        # parity is covered by the real multi-device mesh tests.  Only
+        # reachable behind the explicit plan flag: a real mesh whose
+        # all-gather comes up short must fail loudly, never emit
+        # plausible-looking tiled frames (round-5 advisor fix).
+        if not co.get("emulate", False):
+            raise ValueError(
+                f"split blend all-gather returned {full.shape[1]} "
+                f"level-{L} rows, expected {expected} "
+                f"(S={co['S']} x {bh_v >> L}): the mesh 'space' axis "
+                "does not match the plan. Set emulate_space=True on "
+                "the plan only for single-device timing emulation."
+            )
+        if expected % full.shape[1] != 0:
+            raise ValueError(
+                f"emulated split blend rows {full.shape[1]} do not "
+                f"divide the expected {expected}"
+            )
         full = jnp.tile(full, (1, expected // full.shape[1], 1))
     Hp_L = full.shape[1]
 
@@ -1796,7 +1819,14 @@ def _blend_windows_split(
     # extended-band rows of the global level-L acc
     acc = accC[:, co["ridx"]]
     for l in range(L - 1, -1, -1):
-        acc = up(acc) + dst[l]
+        # the fine accumulators must be normalized by the band-local
+        # inverse seam weights exactly like the single-level path
+        # (blenders.cpp:720-730 divide-by-band-weights before collapse);
+        # skipping it is only exact where seam weights sum to 1 — a rig
+        # with a coverage gap inside the union box diverges up to
+        # 39/255 at gap edges otherwise (round-5 fix, partial-coverage
+        # parity test in tests/test_sharded_split.py)
+        acc = up(acc) + dst[l] * inv_fine[l][None]
     return acc
 
 
@@ -1812,10 +1842,15 @@ def _overlay_band(plan, ov_window, k, ext_v, W_v, div=1):
     )
 
 
-def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
+def _stitch_band(plan: ShardedPlan, frames, interpret, out_format,
+                 gains_in=None):
     """One frame set on one shard.  frames: per-input list of
     [Hi*3/2, Wi] u8 (packed YUV420P, or NV12 when
-    plan.frame_format == "nv12").  Returns (band output, gains):
+    plan.frame_format == "nv12").  ``gains_in`` ([ncam] f32, optional)
+    injects another output's solved exposure gains and skips the
+    pairwise solve — the cross-output gain-sharing semantics
+    (async.cpp:75-91, exposure_compensate.cpp:315-327); mirrors the
+    single-chip Mapper.stitch(gains=).  Returns (band output, gains):
 
     * ``out_format="yuv420p"``: packed band output, u8 [obh*3/2, oW]
       (YUV420P, or NV12 when frame_format == "nv12")
@@ -1858,7 +1893,8 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     # exposure gains: working-grid box means (identical global block
     # grid to the single-chip Mapper), psum'd across 'space'
     gains = jnp.ones((ncam,), dtype=jnp.float32)
-    need_norms = (plan.gm_i is not None and plan.pairs) or (
+    pairwise = plan.gm_i is not None and plan.pairs
+    need_norms = (pairwise and gains_in is None) or (
         plan.gain_blocks is not None
     )
     if need_norms:
@@ -1880,8 +1916,12 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
             )
             for i, wd in enumerate(warped[:ncam])
         ]
-    elif plan.gm_i is not None and plan.pairs:
-        gains = _solve_band_gains(plan, norms)
+    elif pairwise:
+        gains = (
+            gains_in.astype(jnp.float32)
+            if gains_in is not None
+            else _solve_band_gains(plan, norms)
+        )
         # cast the scalar, not the image: f32*bf16 would promote the
         # whole warped image back to f32
         warped[:ncam] = [
@@ -1902,6 +1942,7 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
             halo=halo,
             bh=bh,
             S=plan.S,
+            emulate=plan.emulate_space,
         )
     band = _blend_windows(
         plan,
@@ -1946,22 +1987,10 @@ def _stitch_band(plan: ShardedPlan, frames, interpret, out_format):
     return out, gains
 
 
-def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
-    """YUV420-native band stitch (see stitch/yuv_mode.py): pair-packed
-    1-channel Y fan at full band resolution + 2-channel chroma fan at
-    half resolution, per-plane window blends, centered chroma, packed
-    YUV420P (or NV12) band output.  frames: per-input list of
-    [Hi*3/2, Wi] u8."""
-    assert out_format == "yuv420p"
-    ncam = plan.num_inputs
-    ntotal = ncam + plan.num_overlays
-    ext, Wp, halo, bh = plan.ext, plan.Wp, plan.halo, plan.bh
-    bh2, halo2 = bh // 2, halo // 2
-    Wp2 = Wp // 2
-
-    remap_dtype = (
-        plan.compute_dtype if plan.blend_kind == "multiband" else "float32"
-    )
+def _prep_band_yuv(plan: ShardedPlan, frames):
+    """Input prep of the yuv420 band stitch: source slice, plane split,
+    vignette, quantize, pair-pack.  Returns (packs_y, packs_uv)."""
+    ntotal = plan.num_inputs + plan.num_overlays
     packs_y, packs_uv = [], []
     for i in range(ntotal):
         buf = _slice_src(plan, frames[i], i)
@@ -1981,6 +2010,26 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
         packs_y.append(pack_pairs([yq]))
         packs_uv.append(pack_pairs([uq, vq]))
+    return packs_y, packs_uv
+
+
+def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format,
+                     gains_in=None):
+    """YUV420-native band stitch (see stitch/yuv_mode.py): pair-packed
+    1-channel Y fan at full band resolution + 2-channel chroma fan at
+    half resolution, per-plane window blends, centered chroma, packed
+    YUV420P (or NV12) band output.  frames: per-input list of
+    [Hi*3/2, Wi] u8.  ``gains_in`` ([ncam] f32, optional) injects
+    another output's solved gains and skips the pairwise solve
+    (async.cpp:75-91 cross-output sharing)."""
+    assert out_format == "yuv420p"
+    ncam = plan.num_inputs
+    ntotal = ncam + plan.num_overlays
+
+    remap_dtype = (
+        plan.compute_dtype if plan.blend_kind == "multiband" else "float32"
+    )
+    packs_y, packs_uv = _prep_band_yuv(plan, frames)
 
     # one batched kernel launch per plane per equal-size camera group
     warped_y = [None] * ntotal
@@ -2009,12 +2058,101 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
         for i, wy, wuv in zip(idxs, outs_y, outs_uv):
             warped_y[i] = wy
             warped_uv[i] = wuv
+    return _postwarp_band_yuv(
+        plan, warped_y, warped_uv, gains_in, out_format
+    )
+
+
+def _stitch_band_yuv_multi(plan: ShardedPlan, frame_sets, interpret,
+                           out_format, gains_in_list=None):
+    """B frame sets through ONE pallas launch per plane per size group
+    (frames_axis grid) — the data-axis launch amortization (VERDICT r4
+    next #1/#2): per-launch (~0.7 ms) and dispatch fixed costs divide
+    by B while prep and post-warp stay per-frame XLA work.  Returns
+    (stacked band outputs [B, ...], stacked gains [B, ncam])."""
+    assert out_format == "yuv420p"
+    B = len(frame_sets)
+    ncam = plan.num_inputs
+    ntotal = ncam + plan.num_overlays
+    remap_dtype = (
+        plan.compute_dtype if plan.blend_kind == "multiband" else "float32"
+    )
+    preps = [_prep_band_yuv(plan, fs) for fs in frame_sets]
+
+    warped_y = [[None] * ntotal for _ in range(B)]
+    warped_uv = [[None] * ntotal for _ in range(B)]
+    for idxs, rp_y, rp_uv in zip(
+        plan.group_idx, plan.remap_groups, plan.remap_uv_groups
+    ):
+        if rp_y.concat_heights:
+            src_y = [
+                jnp.stack([preps[b][0][i] for b in range(B)]) for i in idxs
+            ]
+            src_uv = [
+                jnp.stack([preps[b][1][i] for b in range(B)]) for i in idxs
+            ]
+        else:
+            src_y = jnp.stack(
+                [
+                    jnp.stack([preps[b][0][i] for i in idxs])
+                    for b in range(B)
+                ]
+            )
+            src_uv = jnp.stack(
+                [
+                    jnp.stack([preps[b][1][i] for i in idxs])
+                    for b in range(B)
+                ]
+            )
+        outs_y = pallas_remap_apply_batched(
+            src_y,
+            rp_y,
+            interpret=interpret,
+            out_dtype=remap_dtype,
+            nc=1,
+            paired=True,
+            frames_axis=True,
+        )  # per input [B, 1, hmax_i, iw_i]
+        outs_uv = pallas_remap_apply_batched(
+            src_uv,
+            rp_uv,
+            interpret=interpret,
+            out_dtype=remap_dtype,
+            nc=2,
+            paired=True,
+            frames_axis=True,
+        )
+        for i, wy, wuv in zip(idxs, outs_y, outs_uv):
+            for b in range(B):
+                warped_y[b][i] = wy[b]
+                warped_uv[b][i] = wuv[b]
+
+    outs, gains = [], []
+    for b in range(B):
+        gi = None if gains_in_list is None else gains_in_list[b]
+        ob, gb = _postwarp_band_yuv(
+            plan, warped_y[b], warped_uv[b], gi, out_format
+        )
+        outs.append(ob)
+        gains.append(gb)
+    return jnp.stack(outs), jnp.stack(gains)
+
+
+def _postwarp_band_yuv(plan: ShardedPlan, warped_y, warped_uv, gains_in,
+                       out_format):
+    """Everything after the fans: chroma centering, gains, per-plane
+    window blends, overlays, resize, packed band output."""
+    ncam = plan.num_inputs
+    ext, Wp, halo, bh = plan.ext, plan.Wp, plan.halo, plan.bh
+    bh2, halo2 = bh // 2, halo // 2
+    Wp2 = Wp // 2
     # centered chroma: covered pixels carry (U-128, V-128); uncovered
     # stay 0 and become neutral 128 at the output stage
     warped_uv = [w - jnp.asarray(128.0, w.dtype) for w in warped_uv]
 
     gains = jnp.ones((ncam,), dtype=jnp.float32)
-    need_norms = (plan.gm_i is not None and plan.pairs) or (
+    pairwise = plan.gm_i is not None and plan.pairs
+    need_norms = (pairwise and gains_in is None) or (
         plan.gain_blocks is not None
     )
     if need_norms:
@@ -2035,8 +2173,12 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
             warped_uv[i] = warped_uv[i] * guv[None].astype(
                 warped_uv[i].dtype
             )
-    elif plan.gm_i is not None and plan.pairs:
-        gains = _solve_band_gains(plan, norms)
+    elif pairwise:
+        gains = (
+            gains_in.astype(jnp.float32)
+            if gains_in is not None
+            else _solve_band_gains(plan, norms)
+        )
         warped_y[:ncam] = [
             w * gains[i].astype(w.dtype)
             for i, w in enumerate(warped_y[:ncam])
@@ -2068,6 +2210,7 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
                 halo=halo,
                 bh=bh,
                 S=plan.S,
+                emulate=plan.emulate_space,
             )
         if plan.split_level_uv >= 0:
             coarse_uv = dict(
@@ -2078,6 +2221,7 @@ def _stitch_band_yuv(plan: ShardedPlan, frames, interpret, out_format):
                 halo=halo2,
                 bh=bh2,
                 S=plan.S,
+                emulate=plan.emulate_space,
             )
     band_y = _blend_windows(
         plan,
@@ -2242,13 +2386,28 @@ class ShardedMapper:
 
         ntotal = self.plan.num_inputs + self.plan.num_overlays
 
-        def run_bands(plan_local, get_set, nb):
+        def run_bands(plan_local, get_set, nb, get_gains=None):
             # strip the local S axis (== 1) off space-sharded leaves only
             plan_sq = jax.tree.map(
                 lambda leaf, spec: leaf[0] if spec == P("space") else leaf,
                 plan_local,
                 plan_specs,
             )
+            if plan_sq.pipeline == "yuv420" and nb > 1:
+                # the per-device 'data' batch rides ONE frames_axis
+                # pallas grid per plane per size group — per-launch and
+                # dispatch fixed costs divide by nb (VERDICT r4 #1/#2)
+                return _stitch_band_yuv_multi(
+                    plan_sq,
+                    [get_set(b) for b in range(nb)],
+                    interpret,
+                    out_format,
+                    gains_in_list=(
+                        None
+                        if get_gains is None
+                        else [get_gains(b) for b in range(nb)]
+                    ),
+                )
             # static unroll over the (small) per-device batch — vmap over
             # a scalar-prefetch pallas_call is not supported
             band_fn = (
@@ -2258,7 +2417,13 @@ class ShardedMapper:
             )
             outs, gains = [], []
             for b in range(nb):
-                o, g = band_fn(plan_sq, get_set(b), interpret, out_format)
+                o, g = band_fn(
+                    plan_sq,
+                    get_set(b),
+                    interpret,
+                    out_format,
+                    gains_in=None if get_gains is None else get_gains(b),
+                )
                 outs.append(o)
                 gains.append(g)
             return jnp.stack(outs), jnp.stack(gains)
@@ -2280,6 +2445,27 @@ class ShardedMapper:
             )
 
         self._step = jax.jit(step)
+
+        # gains-injecting variant (cross-output sharing, async.cpp:75-91
+        # + exposure_compensate.cpp:315-327): gains [B, ncam] rides the
+        # 'data' axis like the frames, replicated over 'space'; compiles
+        # lazily on first use so solve-only users never pay for it
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(plan_specs, frame_specs, P("data")),
+            out_specs=(out_spec, P("data", None)),
+            check_vma=False,
+        )
+        def step_gains(plan_local, frames_local, gains_local):
+            return run_bands(
+                plan_local,
+                lambda b: [f[b] for f in frames_local],
+                frames_local[0].shape[0],
+                get_gains=lambda b: gains_local[b],
+            )
+
+        self._step_gains = jax.jit(step_gains)
 
         # stacked-input variant (equal sizes): the multihost path feeds
         # one global [B, ntotal, H*3/2, W] array built with
@@ -2306,10 +2492,15 @@ class ShardedMapper:
 
             self._step_stacked = jax.jit(step_stacked)
 
-    def stitch_batch(self, frames):
+    def stitch_batch(self, frames, gains=None):
         """frames: per-input list of [B, Hi*3/2, Wi] u8 arrays (B
         divisible by mesh 'data'), or a single stacked
         [B, ncam(+nov), Hf*3/2, Wf] array when all sizes are equal.
+        ``gains`` ([B, ncam] f32, optional): inject another output's
+        solved per-frame exposure gains and skip the pairwise solve —
+        the cross-output gain-sharing semantics (async.cpp:75-91,
+        gain_modes encoding async.hpp:79); mirrors the single-chip
+        ``Mapper.stitch(gains=)``.
         Returns (out, gains):
 
         * yuv420p: u8 [B, S*obh*3/2, oW] — per-band packed YUV420P (or
@@ -2324,9 +2515,18 @@ class ShardedMapper:
                 "stacked input needs equal camera sizes; pass a "
                 "per-input list for mixed-size rigs"
             )
+            assert gains is None, (
+                "gain injection needs the per-input-list path"
+            )
             return self._step_stacked(self._plan_dev, jnp.asarray(frames))
         frames = tuple(jnp.asarray(f) for f in frames)
         assert len(frames) == ntotal
+        if gains is not None:
+            g = jnp.asarray(gains, dtype=jnp.float32)
+            assert g.ndim == 2 and g.shape[1] == self.plan.num_inputs, (
+                f"gains must be [B, {self.plan.num_inputs}], got {g.shape}"
+            )
+            return self._step_gains(self._plan_dev, frames, g)
         return self._step(self._plan_dev, frames)
 
     def assemble_yuv(self, out_b):

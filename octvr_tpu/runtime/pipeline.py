@@ -75,16 +75,14 @@ class AsyncMultiMapper:
         # mesh-'data' consecutive frame sets into one stitch_batch call
         # (BASELINE config 5: live streaming through the sharded
         # mapper); the drain stage fans the batch back out per frame
-        self._sharded = hasattr(mappers[0], "stitch_batch")
+        # ShardedMapper carries a device mesh; the single-chip Mapper
+        # (which also has stitch_batch since round 5) does not
+        self._sharded = hasattr(mappers[0], "mesh")
         if self._sharded:
-            assert all(hasattr(m, "stitch_batch") for m in mappers), (
+            assert all(hasattr(m, "mesh") for m in mappers), (
                 "mixing ShardedMapper and Mapper outputs is unsupported"
             )
             self._data_batch = mappers[0].mesh.shape["data"]
-            if gain_modes is not None:
-                assert all(
-                    g in (-1, k) for k, g in enumerate(gain_modes)
-                ), "sharded streaming does not support cross-output gain sharing"
         # donation is a warning no-op on the CPU backend; keep it off
         # there so tests stay quiet
         self.donate = (
@@ -146,7 +144,11 @@ class AsyncMultiMapper:
 
     def _dispatch_sharded(self, pend):
         """One stitch_batch over ``pend`` frame sets (padded by
-        repeating the last set when the stream ends mid-batch)."""
+        repeating the last set when the stream ends mid-batch).  Gain
+        modes follow async.cpp:75-91: solve owners first, then copiers
+        reuse the owner's per-frame gains device-to-device (the
+        exposure_compensate.cpp:315-327 export/inject path — no host
+        round trip)."""
         import jax.numpy as jnp
 
         nreal = len(pend)
@@ -156,10 +158,23 @@ class AsyncMultiMapper:
         per_input = [
             jnp.stack([sets[b][i] for b in range(B)]) for i in range(n_in)
         ]
-        outs = []
-        for m in self.mappers:
-            out, _g = m.stitch_batch(per_input)
-            outs.append(out)
+        n_out = len(self.mappers)
+        outs = [None] * n_out
+        gains = [None] * n_out
+        order = sorted(
+            range(n_out),
+            key=lambda k: 0 if self.gain_modes[k] in (-1, k) else 1,
+        )
+        for k in order:
+            mode = self.gain_modes[k]
+            if mode == -1 or mode == k:
+                out, g = self.mappers[k].stitch_batch(per_input)
+            else:
+                out, g = self.mappers[k].stitch_batch(
+                    per_input, gains=gains[mode]
+                )
+            outs[k] = out
+            gains[k] = g
         self._flight_q.put(("sbatch", outs, nreal))
 
     def _run_stitch(self):
@@ -228,6 +243,30 @@ class AsyncMultiMapper:
             t0 = time.perf_counter()
             if self._sharded:
                 _tag, outs, nreal = item
+                if self.drain_mode == "checksum":
+                    import jax.numpy as jnp
+
+                    # strided scalar per output batch; same amortized
+                    # fetch contract as the single-chip branch below
+                    scal = [
+                        jnp.sum(o[:, ::101, ::103].astype(jnp.int32))
+                        for o in outs
+                    ]
+                    self._last_chk = scal
+                    fetch = self._stage_n % 8 >= 8 - nreal
+                    vals = (
+                        [float(s) for s in scal]
+                        if fetch
+                        else [0.0 for _ in scal]
+                    )
+                    for _ in range(nreal):
+                        self._stage_n += 1
+                        self.fps.tick()
+                        self._out_q.put(list(vals))
+                    self._stage_ms["drain"] += (
+                        time.perf_counter() - t0
+                    ) * 1e3
+                    continue
                 # D2H the whole batch, then reassemble per frame
                 host_b = [np.asarray(o) for o in outs]
                 for b in range(nreal):
@@ -285,7 +324,14 @@ class AsyncMultiMapper:
         self._in_q.put(list(frames))
 
     def pop(self):
-        """Returns list of per-output YUV420P numpy arrays (blocks)."""
+        """Returns list of per-output YUV420P numpy arrays (blocks).
+
+        CONTRACT CHANGE in ``drain="checksum"`` mode: returns a list of
+        per-output floats instead of frames (a strided checksum, 0.0 on
+        the 7 of every 8 frames whose fetch is amortized).  That mode
+        exists to measure the device-bound pipeline rate on slow D2H
+        links — never feed its pop() results to a frame sink
+        (cli/stream.py skips its writers in that mode)."""
         out = self._out_q.get()
         if isinstance(out, _Stop):
             raise StopIteration

@@ -472,6 +472,8 @@ class Mapper:
         # first stitch(donate=True); see stitch() docstring
         self._stitch_auto_don = None
         self._stitch_gains_don = None
+        # B-frame throughput variants compile lazily per B (stitch_batch)
+        self._stitch_batch_jits = {}
 
     # ------------------------------------------------------------ forward
 
@@ -593,22 +595,10 @@ class Mapper:
             gains = jnp.ones((self.num_inputs,), dtype=jnp.float32)
         return out, gains
 
-    def _forward_yuv(self, plan, yuv_inputs, ext_gains):
-        """YUV420-native per-frame path (see stitch/yuv_mode.py): nc=1
-        full-res Y fan + nc=2 half-res chroma fan, separate Y/UV blends,
-        direct packed YUV420P output.  Chroma rides CENTERED (U-128,
-        V-128) from the gain stage through the blend — the blend weights
-        sum to one where covered and the band normalization leaves
-        uncovered pixels at 0, so adding 128 back at the output yields
-        neutral chroma exactly where the RGB path yields black."""
-        W, H = plan.canvas_size
-        n = self.num_inputs
-
-        remap_dtype = (
-            plan.blender.compute_dtype
-            if plan.blend_kind == "multiband"
-            else "float32"
-        )
+    def _prep_pack_yuv(self, plan, yuv_inputs):
+        """Per-frame input prep of the yuv420 pipeline: NV12 unpack,
+        plane split, vignette, quantize, pair-pack for the paired fans.
+        Pure elementwise ops — vmap-safe for the batched path."""
         packs_y, packs_uv = [], []
         for buf, ip in zip(yuv_inputs, plan.inputs + plan.overlays):
             if self.frame_format == "nv12":
@@ -631,6 +621,22 @@ class Mapper:
             uq = jnp.clip(jnp.round(uf), 0, 255).astype(jnp.int32)
             vq = jnp.clip(jnp.round(vf), 0, 255).astype(jnp.int32)
             packs_uv.append(pack_pairs([uq, vq]))
+        return tuple(packs_y), tuple(packs_uv)
+
+    def _forward_yuv(self, plan, yuv_inputs, ext_gains):
+        """YUV420-native per-frame path (see stitch/yuv_mode.py): nc=1
+        full-res Y fan + nc=2 half-res chroma fan, separate Y/UV blends,
+        direct packed YUV420P output.  Chroma rides CENTERED (U-128,
+        V-128) from the gain stage through the blend — the blend weights
+        sum to one where covered and the band normalization leaves
+        uncovered pixels at 0, so adding 128 back at the output yields
+        neutral chroma exactly where the RGB path yields black."""
+        remap_dtype = (
+            plan.blender.compute_dtype
+            if plan.blend_kind == "multiband"
+            else "float32"
+        )
+        packs_y, packs_uv = self._prep_pack_yuv(plan, yuv_inputs)
 
         # one batched kernel launch per equal-size camera group
         total = len(packs_y)
@@ -658,6 +664,70 @@ class Mapper:
             for i, wy, wuv in zip(idxs, outs_y, outs_uv):
                 warped_y[i] = wy
                 warped_uv[i] = wuv
+        return self._postwarp_yuv(plan, warped_y, warped_uv, ext_gains)
+
+    def _forward_yuv_batch(self, plan, yuv_inputs, ext_gains):
+        """B-frame throughput path (VERDICT r4 next #2): one pallas
+        launch per plane per size group serves ALL B frames
+        (frames_axis grid), amortizing the ~0.7 ms/launch fixed cost by
+        1/B; prep and post-warp stages are vmapped over the frame axis
+        (bigger MXU matmuls in the pyramid stage for free).
+        yuv_inputs: per-input [B, Hi*3/2, Wi]; returns
+        (out [B, Ho*3/2, Wo], gains [B, n])."""
+        remap_dtype = (
+            plan.blender.compute_dtype
+            if plan.blend_kind == "multiband"
+            else "float32"
+        )
+        packs_y, packs_uv = jax.vmap(
+            lambda bufs: self._prep_pack_yuv(plan, bufs)
+        )(tuple(yuv_inputs))
+
+        total = len(packs_y)
+        warped_y = [None] * total
+        warped_uv = [None] * total
+        for idxs, rp_y, rp_uv in zip(
+            plan.group_idx, plan.remap_y_groups, plan.remap_uv_groups
+        ):
+            outs_y = pallas_remap_apply_batched(
+                jnp.stack([packs_y[i] for i in idxs], axis=1),
+                rp_y,
+                out_dtype=remap_dtype,
+                nc=1,
+                paired=True,
+                interpret=self._interpret,
+                frames_axis=True,
+            )
+            outs_uv = pallas_remap_apply_batched(
+                jnp.stack([packs_uv[i] for i in idxs], axis=1),
+                rp_uv,
+                out_dtype=remap_dtype,
+                nc=2,
+                paired=True,
+                interpret=self._interpret,
+                frames_axis=True,
+            )
+            for i, wy, wuv in zip(idxs, outs_y, outs_uv):
+                warped_y[i] = wy  # [B, nc, rh, rw]
+                warped_uv[i] = wuv
+
+        post = lambda wy, wuv, eg: self._postwarp_yuv(
+            plan, list(wy), list(wuv), eg
+        )
+        if ext_gains is None:
+            return jax.vmap(lambda wy, wuv: post(wy, wuv, None))(
+                tuple(warped_y), tuple(warped_uv)
+            )
+        return jax.vmap(post)(
+            tuple(warped_y), tuple(warped_uv), ext_gains
+        )
+
+    def _postwarp_yuv(self, plan, warped_y, warped_uv, ext_gains):
+        """Everything after the fans: chroma centering, gains, blends,
+        overlays, resize, packed output.  vmap-safe (matmul pyramids,
+        elementwise, tiny dense solve)."""
+        W, H = plan.canvas_size
+        n = self.num_inputs
         # center chroma: covered pixels carry (U-128, V-128); uncovered
         # stay 0 and become neutral 128 at the output stage
         warped_uv = [wuv - jnp.asarray(128.0, wuv.dtype) for wuv in warped_uv]
@@ -803,7 +873,54 @@ class Mapper:
             gains = jnp.ones((n,), dtype=jnp.float32)
         return out, gains
 
+    def _forward_batch(self, plan, yuv_inputs, ext_gains):
+        """B-frame forward: frames_axis-batched fans for yuv420; the rgb
+        pipeline statically unrolls (amortizes dispatch only)."""
+        if plan.pipeline == "yuv420":
+            return self._forward_yuv_batch(plan, yuv_inputs, ext_gains)
+        B = yuv_inputs[0].shape[0]
+        outs, gains = [], []
+        for b in range(B):
+            eg = None if ext_gains is None else ext_gains[b]
+            out, g = self._forward(plan, [f[b] for f in yuv_inputs], eg)
+            outs.append(out)
+            gains.append(g)
+        return jnp.stack(outs), jnp.stack(gains)
+
     # ------------------------------------------------------------- public
+
+    def stitch_batch(self, yuv_inputs, gains=None, donate=False):
+        """Stitch B frame sets in ONE jitted program (the data-axis
+        throughput path, VERDICT r4 next #2): yuv_inputs is a per-input
+        list of [B, Hi*3/2, Wi] u8 arrays.  On the yuv420 pipeline the
+        per-plane Pallas fans run B frames per launch (frames_axis
+        grid), amortizing per-launch (~0.7 ms x 2) and host-dispatch
+        fixed costs by 1/B past the per-frame latency floor
+        (docs/kernel-notes.md).  ``gains``: optional [B, n] injection
+        (async.cpp:75-91 sharing).  Returns
+        (out [B, Ho*3/2, Wo] u8, gains [B, n] f32)."""
+        bufs = tuple(jnp.asarray(b) for b in yuv_inputs)
+        B = bufs[0].shape[0]
+        key = (B, gains is not None, donate)
+        fn = self._stitch_batch_jits.get(key)
+        if fn is None:
+            don = (1,) if donate else ()
+            if gains is None:
+                fn = jax.jit(
+                    lambda plan, bufs: self._forward_batch(plan, bufs, None),
+                    donate_argnums=don,
+                )
+            else:
+                fn = jax.jit(
+                    lambda plan, bufs, g: self._forward_batch(plan, bufs, g),
+                    donate_argnums=don,
+                )
+            self._stitch_batch_jits[key] = fn
+        if gains is None:
+            return fn(self._plan_dev, bufs)
+        return fn(
+            self._plan_dev, bufs, jnp.asarray(gains, dtype=jnp.float32)
+        )
 
     def stitch(self, yuv_inputs, gains=None, donate=False):
         """yuv_inputs: list of [Hi*3/2, Wi] uint8 arrays (packed YUV420P).

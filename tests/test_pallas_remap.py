@@ -274,3 +274,71 @@ def test_pallas_remap_concat_source():
     )
     for r, g in zip(ref, got):
         assert np.abs(np.asarray(r) - np.asarray(g)).max() < 1e-3
+
+
+def test_pallas_remap_frames_axis():
+    """frames_axis=True: B frames through ONE grid must match B
+    separate launches bit-for-bit (incl. residual taps and empty-tile
+    slot placement) — the launch-amortization path (VERDICT r4 #1/#2)."""
+    rng = np.random.default_rng(9)
+    in_h, in_w = 96, 256
+    m1, m2 = _arc_maps(64, 256)
+    bp = merge_remap_plans([(m1, m2), (m2, m1)], in_h, in_w)
+
+    B = 3
+    packs = []
+    for b in range(B):
+        img = rng.uniform(0, 255, (3, in_h, in_w)).astype(np.float32)
+        packs.append(pack_rgb(jnp.asarray(img)).reshape(in_h, in_w))
+
+    refs = [
+        pallas_remap_apply_batched(
+            jnp.stack([p, p]), bp, interpret=True
+        )
+        for p in packs
+    ]
+    got = pallas_remap_apply_batched(
+        jnp.stack([jnp.stack([p, p]) for p in packs]),
+        bp,
+        interpret=True,
+        frames_axis=True,
+    )
+    for i in range(2):
+        assert got[i].shape == (B, 3, 64, 256)
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(got[i][b]), np.asarray(refs[b][i])
+            )
+
+
+def test_pallas_remap_frames_axis_paired_nc1():
+    """frames_axis with the production paired nc=1 (Y-fan) layout."""
+    rng = np.random.default_rng(11)
+    in_h, in_w = 96, 256
+    m1, m2 = _arc_maps(64, 256)
+    from octvr_tpu.ops.pallas_remap import pack_pairs
+
+    bp = merge_remap_plans([(m1, m2)], in_h, in_w, paired=True)
+    B = 2
+    packs = [
+        pack_pairs(
+            [jnp.asarray(rng.integers(0, 256, (in_h, in_w)), jnp.int32)]
+        )
+        for _ in range(B)
+    ]
+    refs = [
+        pallas_remap_apply_batched(
+            p[None], bp, interpret=True, nc=1, paired=True
+        )[0]
+        for p in packs
+    ]
+    got = pallas_remap_apply_batched(
+        jnp.stack([p[None] for p in packs]),
+        bp,
+        interpret=True,
+        nc=1,
+        paired=True,
+        frames_axis=True,
+    )[0]
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(refs[b]))

@@ -92,3 +92,38 @@ def test_split_off_matches_split_on_interior(setup):
     y_off = off.assemble_yuv(np.asarray(off.stitch_batch(batch)[0])[0])
     err = np.abs(y_on.astype(np.float32) - y_off.astype(np.float32))
     assert err[8:120].mean() < 0.02, err[8:120].mean()
+
+
+def test_split_blend_partial_coverage_rig():
+    """Partial-coverage rig (hfov < pi: seam-weight sums < 1 inside the
+    union box).  The fine-level collapse must apply the band-local
+    inverse seam weights (round-5 advisor fix): without them the split
+    path diverged from the single-chip Mapper by Y mean 1.5/255, max
+    39/255 at coverage-gap edges while every full-sphere rig stayed
+    green."""
+    rig = two_fisheye_rig()
+    for spec in rig["inputs"]:
+        spec["options"].update(width=256, height=256, hfov=0.82 * np.pi)
+    mt = compile_rig(rig, 256, 128)
+    mt.create_masks()
+    sizes = [(256, 256)] * 2
+    frames = render_camera_frames(rig)
+    mesh = make_mesh(1, 4)
+
+    single = Mapper(mt, sizes, blend=32, enable_gain=True)
+    out_s, _ = single.stitch(frames)
+
+    sm = ShardedMapper(mt, sizes, mesh, blend=32, enable_gain=True)
+    assert sm.plan.split_level >= 0  # the path under test
+    out_m, _ = sm.stitch_batch([np.stack([f]) for f in frames])
+    yuv = sm.assemble_yuv(np.asarray(out_m)[0])
+    err = np.abs(
+        yuv.astype(np.float32) - np.asarray(out_s).astype(np.float32)
+    )
+    oh = mt.out_size[1]
+    # measured with the fix: mean 0.202 / interior 0.092 / max 13 — on
+    # par with the split-off path (0.242 / 0.104 / 8); without the fix:
+    # mean 1.5, max 39 at the gap edges
+    assert err[:oh].mean() < 0.3, err[:oh].mean()
+    assert err[8 : oh - 8].mean() < 0.15, err[8 : oh - 8].mean()
+    assert err[:oh].max() < 16.0, err[:oh].max()

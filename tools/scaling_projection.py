@@ -157,6 +157,9 @@ def main():
                 lambda leaf: leaf[s] if id(leaf) in sharded_leaves else leaf,
                 plan,
             )
+            # opt into the single-device all-gather tiling (timing
+            # emulation only; a real mesh must never take that path)
+            object.__setattr__(plan_s, "emulate_space", True)
             specs = jax.tree.map(lambda _: P(), plan_s)
 
             @jax.jit
