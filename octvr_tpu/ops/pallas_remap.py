@@ -658,7 +658,8 @@ def pack_pair_rows(plane):
     return base[..., 0::2, :] | (base[..., 1::2, :] << 16)
 
 
-def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
+def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False,
+                    frame_grid=False):
     """Batched kernel: one grid step = G output tiles sharing one
     window.  Same row fan as _kernel per sub-tile; per-tile operands
     unpack from the two packed refs; no valid ref (sentinel indices
@@ -703,7 +704,9 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
         wins = args[7 : 7 + 4 * nb]
         outs = args[7 + 4 * nb : 7 + 4 * nb + nc]
 
-        t = pl.program_id(0)
+        # frames_axis runs a 2-D grid (frame, step): every frame
+        # shares one rng table indexed by the step dim
+        t = pl.program_id(1) if frame_grid else pl.program_id(0)
         for g in range(G):
             oyp = oyx[0, g, :TH, :]
             oxp = oyx[0, g, TH:, :]
@@ -841,7 +844,10 @@ def _kernel_grouped(KH, KW, nb, G, nc=3, paired=False, rowpack=False):
                 tot = accs[ch * NACC]
                 for a in range(1, NACC):
                     tot = tot + accs[ch * NACC + a]
-                outs[ch][0, g] = tot.astype(outs[ch].dtype)
+                if frame_grid:
+                    outs[ch][0, 0, g] = tot.astype(outs[ch].dtype)
+                else:
+                    outs[ch][0, g] = tot.astype(outs[ch].dtype)
 
     return kern
 
@@ -1278,50 +1284,61 @@ def pallas_remap_apply_batched(
                (0, wp_in - packed_stack.shape[-1])),
         )
     # frame-batched source: fold the frame axis into the image axis
-    # ([B, N, hp, wp] -> [B*N, hp, wp]) and shift each frame's img
-    # indices to its block; the big tile operands (oyx/fxy) are shared
-    # across frames through a t %% grid_nt index map below.  concat
-    # mode already folded its inputs into ONE row-concatenated block
-    # per frame, so n_img == 1 there.
+    # ([B, N, hp, wp] -> [B*N, hp, wp]).  The scalar-prefetch tables
+    # and the big tile operands (oyx/fxy) are SHARED across frames —
+    # index maps and the kernel compute (t // gnt, t %% gnt) instead of
+    # tiling the tables (a tiled rng table is ~1 MB at 4K x B=4, which
+    # pressures SMEM and measurably slows the fan).  concat mode
+    # already folded its inputs into ONE row-concatenated block per
+    # frame, so n_img == 1 there.
     n_img = None
     if frames_axis:
         n_img = 1 if plan.concat_heights else packed_stack.shape[1]
-    img_t, by_t, bx_t, by2_t, rng_t = (
-        plan.img, plan.by, plan.bx, plan.by2, plan.rng
-    )
-    if frames_axis:
         packed_stack = packed_stack.reshape(
             B * n_img, *packed_stack.shape[-2:]
         )
-        img_t = (
-            plan.img[None, :] + (jnp.arange(B, dtype=plan.img.dtype)
-                                 * n_img)[:, None]
-        ).reshape(-1)
-        by_t = jnp.tile(plan.by, B)
-        bx_t = jnp.tile(plan.bx, B)
-        by2_t = jnp.tile(plan.by2, B)
-        rng_t = jnp.tile(plan.rng, B)
 
     gnt = plan.grid_nt
-    tile_spec = pl.BlockSpec(
-        (1, G, 2 * TH, TW),
-        (lambda t, *_: (t % gnt, 0, 0, 0))
-        if frames_axis
-        else (lambda t, *_: (t, 0, 0, 0)),
-        memory_space=pltpu.VMEM,
-    )
-    out_spec = pl.BlockSpec(
-        (1, G, TH, TW),
-        lambda t, *_: (t, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if frames_axis:
+        # 2-D grid (B, gnt): the frame index is its own grid dim, so
+        # every index map is a direct lookup — per-step modulo
+        # arithmetic and table tiling both measured as overhead
+        tile_spec = pl.BlockSpec(
+            (1, G, 2 * TH, TW),
+            lambda b, t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (1, 1, G, TH, TW),
+            lambda b, t, *_: (b, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        tile_spec = pl.BlockSpec(
+            (1, G, 2 * TH, TW),
+            lambda t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (1, G, TH, TW),
+            lambda t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     KHr = KH // 2 if rowpack else KH
 
     def win_spec(sy, c):
-        def imap(t, img_s, by_s, bx_s, by2_s, rng_s):
-            yy = by2_s[t] if sy else by_s[t]
-            return (img_s[t], yy, bx_s[t] + c)
+        if frames_axis:
+
+            def imap(b, t, img_s, by_s, bx_s, by2_s, rng_s):
+                yy = by2_s[t] if sy else by_s[t]
+                return (b * n_img + img_s[t], yy, bx_s[t] + c)
+
+        else:
+
+            def imap(t, img_s, by_s, bx_s, by2_s, rng_s):
+                yy = by2_s[t] if sy else by_s[t]
+                return (img_s[t], yy, bx_s[t] + c)
 
         return pl.BlockSpec((1, KHr, TW), imap, memory_space=pltpu.VMEM)
 
@@ -1330,33 +1347,41 @@ def pallas_remap_apply_batched(
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(B * plan.grid_nt,),
+        grid=(B, plan.grid_nt) if frames_axis else (plan.grid_nt,),
         in_specs=[tile_spec, tile_spec] + win_specs,
         out_specs=[out_spec] * nc,
     )
     odt = jnp.dtype(out_dtype)
-    shape = jax.ShapeDtypeStruct((B * plan.grid_nt, G, TH, TW), odt)
-    # NOTE the kernel body needs no frame awareness: its only use of
-    # program_id is indexing rng_s, and the tiled rng table makes
-    # rng_t[(t*G+g)*2nb+b] == rng[((t%gnt)*G+g)*2nb+b] exactly
+    shape = jax.ShapeDtypeStruct(
+        (B, plan.grid_nt, G, TH, TW)
+        if frames_axis
+        else (plan.grid_nt, G, TH, TW),
+        odt,
+    )
     chans = pl.pallas_call(
-        _kernel_grouped(KH, KW, nb, G, nc=nc, paired=paired, rowpack=rowpack),
+        _kernel_grouped(
+            KH, KW, nb, G, nc=nc, paired=paired, rowpack=rowpack,
+            frame_grid=frames_axis,
+        ),
         grid_spec=grid_spec,
         out_shape=[shape] * nc,
         interpret=interpret,
     )(
-        img_t,
-        by_t,
-        bx_t,
-        by2_t,
-        rng_t,
+        plan.img,
+        plan.by,
+        plan.bx,
+        plan.by2,
+        plan.rng,
         plan.oyx,
         plan.fxy,
         *([packed_stack] * (4 * nb)),
     )
     # outputs are in grid order [steps*G]; g2c gathers them back into
     # canvas tile order, tmask zeroes the dropped (never-computed)
-    # tiles — where, not multiply, since slot 0 holds real data
+    # tiles — where, not multiply, since slot 0 holds real data.
+    # frames_axis glue is the batched 5D form: the per-frame unrolled
+    # 4D variant was measured 0.6 ms/frame SLOWER at 4K B=4 (19.75 vs
+    # 19.15 ms)
     zero = jnp.zeros((), dtype=odt)
     g2c = jnp.asarray(plan.g2c)
     if frames_axis:
@@ -1409,7 +1434,9 @@ def pallas_remap_apply_batched(
             )
 
         # channel axis sits after the frame axis: [B, nc, rh, rw]
-        out = jnp.stack([untile(ch) for ch in chans], axis=1 if frames_axis else 0)
+        out = jnp.stack(
+            [untile(ch) for ch in chans], axis=1 if frames_axis else 0
+        )
         res_out, res_idx, res_w = plan.res[i]
         if res_out.shape[0] and rowpack:
             # res_idx holds full-res flat taps [y0x0, y0x1, y1x0, y1x1];

@@ -63,10 +63,29 @@ sm = ShardedMapper(mt, [(128, 128)] * 2, make_mesh(4, 1), blend=16,
 frames = [np.zeros((4, 192, 128), np.uint8)] * 2
 lowered = sm._step.lower(sm._plan_dev, tuple(np.asarray(f) for f in frames))
 hlo = lowered.compile().as_text()
-pat = re.compile(r"(all-reduce|all-gather|collective-permute|"
-                 r"all-to-all|reduce-scatter)")
-hits = sorted(set(pat.findall(hlo)))
-print("COLLECTIVES:" + ",".join(hits) if hits else "COLLECTIVES:none")
+pat = re.compile(r"all-reduce|all-gather|collective-permute|"
+                 r"all-to-all|reduce-scatter")
+rows = []
+for line in hlo.splitlines():
+    if not pat.search(line):
+        continue
+    m = re.search(r"replica_groups=\{(.*?)\}\}", line)
+    groups = (m.group(1) + "}") if m else "?"
+    shape = re.search(r"= (\S+) (all-\w+|collective-\w+|reduce-scatter)", line)
+    # singleton groups ({{0},{1},...}) = identity collective: zero
+    # cross-chip bytes at runtime
+    singleton = all(
+        len(g.split(",")) == 1
+        for g in re.findall(r"\{([^{}]*)\}", groups + "}")
+    ) if m else False
+    rows.append(
+        (shape.group(1) if shape else "?",
+         "identity(singleton-groups)" if singleton else groups)
+    )
+if rows:
+    print("COLLECTIVES:" + ";".join(f"{s} {g}" for s, g in rows))
+else:
+    print("COLLECTIVES:none")
 """
     r = subprocess.run(
         [sys.executable, "-c", code],

@@ -58,6 +58,16 @@ def main():
     ap.add_argument("--ici", type=float, default=45e9,
                     help="assumed per-chip ICI bandwidth, bytes/s")
     ap.add_argument("--blend", type=int, default=None)
+    ap.add_argument(
+        "--batch",
+        type=int,
+        default=1,
+        help="frame sets per program on the emulated shard (the "
+        "per-device 'data' batch of a (data, space) mesh): the "
+        "frames_axis grid amortizes the non-dividing per-launch + "
+        "dispatch fixed costs by 1/B — the round-5 high-S lever; "
+        "per-frame ms = t/B, efficiency vs the S=1 B=1 baseline",
+    )
     ap.add_argument("--no-gain", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--scale", type=int, default=1,
@@ -85,6 +95,7 @@ def main():
     from octvr_tpu.parallel.sharded import (
         _SPACE_FIELDS,
         _stitch_band_yuv,
+        _stitch_band_yuv_multi,
         build_sharded_plan,
     )
     from octvr_tpu.template import compile_rig
@@ -162,38 +173,49 @@ def main():
             object.__setattr__(plan_s, "emulate_space", True)
             specs = jax.tree.map(lambda _: P(), plan_s)
 
+            B = args.batch
+
             @jax.jit
             @partial(
                 shard_map,
                 mesh=mesh,
-                in_specs=(specs, tuple(P() for _ in range(6))),
+                in_specs=(specs, tuple(P() for _ in range(6 * B))),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
             def step(plan_local, frames):
-                return _stitch_band_yuv(
-                    plan_local, list(frames), interpret, "yuv420p"
+                if B == 1:
+                    return _stitch_band_yuv(
+                        plan_local, list(frames), interpret, "yuv420p"
+                    )
+                return _stitch_band_yuv_multi(
+                    plan_local,
+                    [list(frames[b * 6 : (b + 1) * 6]) for b in range(B)],
+                    interpret,
+                    "yuv420p",
                 )
 
             plan_dev = jax.device_put(plan_s)
+            n_calls = max(1, args.iters // B)
             sets = []
-            for i in range(args.iters):
-                sets.append(
-                    tuple(
+            for c in range(n_calls):
+                fs = []
+                for b in range(B):
+                    fs.extend(
                         jax.device_put(
-                            np.clip(f.astype(np.int16) + i, 0, 255).astype(
-                                np.uint8
-                            )
+                            np.clip(
+                                f.astype(np.int16) + c * B + b, 0, 255
+                            ).astype(np.uint8)
                         )
                         for f in base
                     )
-                )
+                sets.append(tuple(fs))
             jax.block_until_ready(sets)
 
             t0 = time.time()
             out, _ = step(plan_dev, sets[0])
             _sync = float(
-                jnp.sum(out[::101, ::103].astype(jnp.int32))
+                jnp.sum(out[..., ::101, ::103].astype(jnp.int32))
             )
             print(
                 f"# S={S} shard {s}: first call {time.time()-t0:.1f}s "
@@ -203,12 +225,13 @@ def main():
             t0 = time.time()
             outs = [step(plan_dev, fs)[0] for fs in sets]
             _sync = float(
-                jnp.sum(outs[-1][::101, ::103].astype(jnp.int32))
+                jnp.sum(outs[-1][..., ::101, ::103].astype(jnp.int32))
             )
-            dt_ms = (time.time() - t0) / args.iters * 1e3
+            dt_ms = (time.time() - t0) / (n_calls * B) * 1e3
             per_shard_ms[s] = dt_ms
             print(
-                f"# S={S} shard {s}: {dt_ms:.2f} ms/frame (value-synced)",
+                f"# S={S} shard {s}: {dt_ms:.2f} ms/frame "
+                f"(B={B}, value-synced)",
                 file=sys.stderr,
             )
 
@@ -219,6 +242,7 @@ def main():
         eff = (t1_ms / (S * crit)) if t1_ms else None
         row = {
             "S": S,
+            "B": args.batch,
             "bh": plan.bh,
             "halo": plan.halo,
             "ext": plan.ext,
@@ -233,7 +257,7 @@ def main():
 
     summary = {
         "metric": "projected_space_scaling",
-        "config": f"4k 6-cam yuv420 bf16 blend={blend}",
+        "config": f"4k 6-cam yuv420 bf16 blend={blend} batch={args.batch}",
         "frame_broadcast_bytes": frame_bytes,
         "ici_bytes_per_s": args.ici,
         "rows": results,
