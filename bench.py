@@ -214,13 +214,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--batch",
-        default=os.environ.get("OCTVR_BATCH", "auto"),
-        help="frame sets per jitted call: an int B (1 = per-frame "
-        "latency loop), or 'auto' = measure B=1 and B=4 and report the "
-        "best frames/s/chip (throughput mode: the frames_axis pallas "
-        "grid serves all B frames per launch, amortizing the ~0.7 ms x "
-        "2 per-launch + dispatch fixed costs the latency floor "
-        "analysis isolates — docs/kernel-notes.md)",
+        default=os.environ.get("OCTVR_BATCH", "1"),
+        help="frame sets per jitted call: an int B, or 'auto' = also "
+        "measure B=4 and report the best frames/s/chip.  Default 1: "
+        "frame batching through the frames_axis grid is a RECORDED "
+        "NEGATIVE on this hardware (~1 ms/frame constant grid cost "
+        "exceeds the launch amortization — docs/kernel-notes.md "
+        "round-5 section; BASELINE.md round-5 rows), so the headline "
+        "is the per-frame loop",
     )
     args = ap.parse_args(argv)
 

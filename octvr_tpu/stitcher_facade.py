@@ -35,7 +35,16 @@ class Stitcher:
         wave_kind="horiz",
         seam="distance",
         max_features=1500,
+        finder="fast",
+        levels=1,
+        range_width=None,
     ):
+        """``finder``/``levels``/``range_width`` mirror the reference
+        Stitcher's setFeaturesFinder / setFeaturesMatcher choices
+        (stitching.hpp:96, matchers.cpp:365-460): "fast" = FAST-9 +
+        rBRIEF (ORB role), "blob" = Hessian blob pyramid (SURF role,
+        low-texture rigs); levels > 1 = multi-scale pyramid detector;
+        range_width = ordered-sequence range matcher."""
         self.ba = ba
         self.conf_thresh = conf_thresh
         self.blend = blend
@@ -43,6 +52,9 @@ class Stitcher:
         self.wave_kind = wave_kind
         self.seam = seam
         self.max_features = max_features
+        self.finder = finder
+        self.levels = levels
+        self.range_width = range_width
 
     def stitch(self, images, out_width=2048, out_height=0, use_device=True):
         """images: list of [H, W, 3] uint8/float arrays.  Returns
@@ -59,6 +71,9 @@ class Stitcher:
             conf_thresh=self.conf_thresh,
             max_features=self.max_features,
             wave_kind=self.wave_kind,
+            finder=self.finder,
+            levels=self.levels,
+            range_width=self.range_width,
         )
         if len(res.indices) < 2:
             raise RuntimeError("need at least 2 registrable images")

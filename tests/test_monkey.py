@@ -214,3 +214,29 @@ def test_frame_pair_rendezvous():
     tb.join(timeout=10)
     tf.join(timeout=10)
     assert got == [(("b", i), ("f", i)) for i in range(5)]
+
+
+def test_frame_pair_front_ends_first():
+    """FRONT feed ends while a back frame is parked in the rendezvous:
+    put_back must release when finish_front() lands (round-5 advisor
+    fix — previously only the back-ends-first ordering was covered and
+    the parked back producer could spin until stop())."""
+    from octvr_tpu.cli.monkey import FramePair
+
+    pair = FramePair()
+    released = threading.Event()
+
+    def back():
+        pair.put_back(("b", 0))  # front never pairs this
+        released.set()
+
+    tb = threading.Thread(target=back, daemon=True)
+    tb.start()
+    # let the back producer park
+    assert not released.wait(timeout=0.3)
+    pair.finish_front()  # the front reader hit EOF
+    assert released.wait(timeout=5.0), (
+        "put_back stayed parked after the front feed ended"
+    )
+    tb.join(timeout=5)
+    assert not tb.is_alive()

@@ -208,6 +208,7 @@ def test_pallas_remap_edge_clamp_weights():
     assert np.abs(ref1 - got1).max() < 1e-3
 
 
+@pytest.mark.slow  # opt-in rowpack layout; fast-loop budget (round 5)
 def test_pallas_remap_rowpack():
     """rowpack (two source rows per int32, one gather per TWO rows):
     matches the paired nc=1 path bit-for-bit, including residual
@@ -234,6 +235,7 @@ def test_pallas_remap_rowpack():
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-3
 
 
+@pytest.mark.slow  # opt-in src_windows layout; fast-loop budget (round 5)
 def test_pallas_remap_concat_source():
     """Concat-source mode: per-input source HEIGHTS (sliced buffers)
     with row offsets baked into the window tables — one kernel, no
@@ -276,6 +278,7 @@ def test_pallas_remap_concat_source():
         assert np.abs(np.asarray(r) - np.asarray(g)).max() < 1e-3
 
 
+@pytest.mark.slow  # non-default batch path; the production paired nc=1 variant stays fast; fast-loop budget (round 5)
 def test_pallas_remap_frames_axis():
     """frames_axis=True: B frames through ONE grid must match B
     separate launches bit-for-bit (incl. residual taps and empty-tile
