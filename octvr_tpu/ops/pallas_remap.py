@@ -1189,7 +1189,8 @@ def getattr_cat(plans, field):
 @partial(
     jax.jit,
     static_argnames=(
-        "interpret", "out_dtype", "nc", "paired", "rowpack", "frames_axis"
+        "interpret", "out_dtype", "nc", "paired", "rowpack", "frames_axis",
+        "_probe_stage",
     ),
 )
 def pallas_remap_apply_batched(
@@ -1201,6 +1202,7 @@ def pallas_remap_apply_batched(
     paired=False,
     rowpack=False,
     frames_axis=False,
+    _probe_stage=None,
 ):
     """packed_stack: int32 [N, H, W] with ``nc`` channels byte-packed
     per element (low byte first; nc=1 stores the raw value).  Returns a
@@ -1376,6 +1378,10 @@ def pallas_remap_apply_batched(
         plan.fxy,
         *([packed_stack] * (4 * nb)),
     )
+    if _probe_stage == "raw":
+        # tools/untile_probe.py only: skip the untile chain to isolate
+        # its in-context cost (kernel output in grid order)
+        return chans
     # outputs are in grid order [steps*G]; g2c gathers them back into
     # canvas tile order, tmask zeroes the dropped (never-computed)
     # tiles — where, not multiply, since slot 0 holds real data.
@@ -1400,6 +1406,11 @@ def pallas_remap_apply_batched(
             jnp.where(tm, jnp.take(ch.reshape(-1, TH, TW), g2c, axis=0), zero)
             for ch in chans
         ]
+
+    if _probe_stage == "take":
+        # tools/untile_probe.py only: canvas tile order, no per-output
+        # transpose chain
+        return chans
 
     def unpack_ch(gv, ch):
         # residual taps address exact (y, x) pixels, so channel ch lives
