@@ -49,13 +49,15 @@ def decode_png(data: bytes) -> np.ndarray:
             pass
         elif ft == 1:  # Sub
             for x in range(nch, stride):
-                row[x] = (row[x] + row[x - nch]) & 0xFF
+                row[x] = (int(row[x]) + int(row[x - nch])) & 0xFF
         elif ft == 2:  # Up
             row += prev
         elif ft == 3:  # Average
             for x in range(stride):
                 left = row[x - nch] if x >= nch else 0
-                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+                # int() the uint8 operand: the wrap is intended (mod-256
+                # reconstruction), the numpy overflow warning is not
+                row[x] = (int(row[x]) + ((int(left) + int(prev[x])) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for x in range(stride):
                 a = int(row[x - nch]) if x >= nch else 0
@@ -64,7 +66,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
+                row[x] = (int(row[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad filter {ft}")
         out[y] = row
