@@ -163,15 +163,33 @@ def find_homography_ransac(
     return _refit_inliers(src, dst, best_mask, thresh, min_matches)
 
 
+def _spans_2d(pts, mask, thresh):
+    """True when the masked points span a genuinely 2-D region: the
+    minor axis of their scatter must exceed the inlier threshold band.
+    A rank-deficient homography maps the plane onto a LINE, so its
+    "inliers" all sit within ~thresh of that line — a chance-level
+    model on unmatchable pairs (observed on aero1/aero3: 10 inliers,
+    2nd singular value ~1e-14) that this rejects while any real
+    alignment, whose support spreads in two dimensions, passes."""
+    p = pts[mask]
+    c = p - p.mean(axis=0)
+    ev = np.linalg.eigvalsh(c.T @ c / len(p))
+    return ev[0] > (2.0 * thresh) ** 2
+
+
 def _refit_inliers(src, dst, mask, thresh, min_matches):
     """Final model polish on host f64 (matchers.cpp:657 refits on
-    inliers): DLT least squares on the inlier set, re-evaluate, twice."""
+    inliers): DLT least squares on the inlier set, re-evaluate, twice.
+    Rejects degenerate models whose inlier support is collinear on
+    either side (see _spans_2d)."""
     for _ in range(2):
         h = _dlt(src[mask], dst[mask])
         err = np.linalg.norm(_project(h, src) - dst, axis=-1)
         mask = err < thresh
         if mask.sum() < min_matches:
             return None, None
+    if not (_spans_2d(src, mask, thresh) and _spans_2d(dst, mask, thresh)):
+        return None, None
     return _dlt(src[mask], dst[mask]), mask
 
 

@@ -114,6 +114,22 @@ def test_ransac_homography_exact():
     np.testing.assert_allclose(H / H[2, 2], H_true / H_true[2, 2], atol=2e-2)
 
 
+def test_ransac_rejects_rank_deficient_support():
+    """A rank-deficient 'homography' maps the plane onto a line, so
+    every correspondence consistent with it has collinear dst support —
+    chance-level models of exactly this shape escaped RANSAC on the
+    unmatchable aero1/aero3 pair (BASELINE round-5 falsification:
+    9-12 'inliers', 2nd singular value ~1e-14).  The _spans_2d guard
+    must return no model for such support."""
+    rng = np.random.default_rng(3)
+    src = rng.uniform(0, 400, (60, 2))
+    t = src[:, 0] * 0.6 + src[:, 1] * 0.8
+    dst = np.stack([10 + 0.5 * t, 200 + 0.25 * t], axis=1)
+    dst += rng.normal(0, 0.5, dst.shape)
+    H, inl = find_homography_ransac(src, dst, seed=0)
+    assert H is None, "rank-1 support must be rejected"
+
+
 @pytest.fixture(scope="module")
 def synthetic_ring():
     f = 380.0
