@@ -187,6 +187,15 @@ def main(argv=None):
     )
     ap.add_argument("--fps", type=int, default=30, help="delivery fps")
     ap.add_argument(
+        "--encrypt_args",
+        action="store_true",
+        help="pass the stream child's command line as ONE encrypted "
+        "blob (--args_enc) so stream keys / URLs never appear in "
+        "process listings — the OwlLive arg-encryption role "
+        "(encryptor.cpp:25-59); requires OCTVR_ARG_KEY (hex) in the "
+        "environment (utils/argcrypt.py)",
+    )
+    ap.add_argument(
         "--console",
         action="store_true",
         help="curses operator console: live preview-fed status "
@@ -282,6 +291,13 @@ def main(argv=None):
         stream_cmd += ["--preview", args.preview]
     if preview_shm:
         stream_cmd += ["--preview_shm", preview_shm]
+
+    if args.encrypt_args:
+        from ..utils.argcrypt import encrypt_args, load_key
+
+        blob = encrypt_args(stream_cmd[3:], load_key())
+        stream_cmd = stream_cmd[:3] + ["--args_enc", blob]
+        print("# stream child args encrypted (--args_enc)", file=sys.stderr)
 
     sup = LiveSupervisor(
         stream_cmd, restarts=args.restarts, delivery_cmd=delivery_cmd

@@ -25,6 +25,14 @@ def main(argv=None):
     from . import apply_platform_env
 
     apply_platform_env()
+    # confidential-argument mode (encryptor.cpp role): a supervisor may
+    # pass the whole command line as one encrypted blob so stream keys
+    # never show in process listings
+    from ..utils.argcrypt import maybe_decrypt_argv
+
+    argv = maybe_decrypt_argv(
+        sys.argv[1:] if argv is None else list(argv)
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--inputs",
